@@ -1,0 +1,172 @@
+"""2-D convolution primitives in NHWC = (B, T, F, C) layout.
+
+Time is the H axis (causal padding happens there), frequency the W axis, and
+channels ride the TPU lane dimension. Kernels are HWIO. Transposed conv is
+implemented as an input-dilated conv with a spatially-flipped kernel, exactly
+matching torch.nn.ConvTranspose2d output geometry (incl. output_padding), so
+reference weights copy over for parity tests.
+
+GLU pairs follow GCRN/GCRN_noncprs.py:42-83 (conv * sigmoid(conv)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+# torch-style kaiming_uniform(a=sqrt(5)): U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return nn.initializers.uniform(scale=2 * bound)(key, shape, dtype) - bound
+
+
+def _torch_bias_init(fan_in):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return nn.initializers.uniform(scale=2 * bound)(key, shape, dtype) - bound
+
+    return init
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)  # type: ignore[return-value]
+
+
+Padding = Any  # "VALID" | ((t_lo, t_hi), (f_lo, f_hi))
+
+
+class Conv2d(nn.Module):
+    """Plain conv; `padding` is explicit per-axis or "VALID" (torch default)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Padding = "VALID"
+    dilation: Sequence[int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (kh, kw, in_ch // self.groups, self.features),
+            self.param_dtype,
+        )
+        out = lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=_pair(self.strides),
+            padding=self.padding,
+            rhs_dilation=_pair(self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _torch_bias_init(kh * kw * in_ch // self.groups),
+                (self.features,),
+                self.param_dtype,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class ConvTranspose2d(nn.Module):
+    """torch.nn.ConvTranspose2d-equivalent (VALID base padding).
+
+    out_size = (in - 1) * stride - 2 * padding + kernel + output_padding.
+    Kernel param is stored unflipped as (kh, kw, in/groups, out) and flipped
+    at apply time, so a torch weight (in, out/g, kh, kw) maps via simple
+    transposition in the parity loaders.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence[int] = (0, 0)
+    output_padding: Sequence[int] = (0, 0)
+    groups: int = 1
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (kh, kw, in_ch // self.groups, self.features),
+            self.param_dtype,
+        )
+        flipped = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
+        out = lax.conv_general_dilated(
+            x,
+            flipped,
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _torch_bias_init(kh * kw * self.features // self.groups),
+                (self.features,),
+                self.param_dtype,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class GluConv2d(nn.Module):
+    """conv1(x) * sigmoid(conv2(x))  (ref GCRN/GCRN_noncprs.py:42-60)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Padding = "VALID"
+    dilation: Sequence[int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = Conv2d(self.features, self.kernel_size, self.strides,
+                   self.padding, self.dilation, name="conv1")(x)
+        g = Conv2d(self.features, self.kernel_size, self.strides,
+                   self.padding, self.dilation, name="conv2")(x)
+        return a * nn.sigmoid(g)
+
+
+class GluConvTranspose2d(nn.Module):
+    """deconv1(x) * sigmoid(deconv2(x))  (ref GCRN/GCRN_noncprs.py:63-83)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    output_padding: Sequence[int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = ConvTranspose2d(self.features, self.kernel_size, self.strides,
+                            output_padding=self.output_padding, name="conv1")(x)
+        g = ConvTranspose2d(self.features, self.kernel_size, self.strides,
+                            output_padding=self.output_padding, name="conv2")(x)
+        return a * nn.sigmoid(g)

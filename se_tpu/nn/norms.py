@@ -1,0 +1,146 @@
+"""Normalization layers in NHWC / (B, T, C) layouts, torch-parity semantics.
+
+Cumulative ("causal") layer norms follow CTSNet_new/Step1_network.py:212-287:
+running mean/variance over all (channel, freq) entries up to each time step,
+computed via cumsum of sums and sums-of-squares. That formulation is
+cancellation-prone, so statistics are always accumulated in float32
+(ref SURVEY.md §7.3 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm over the last (channel) axis: eps 1e-5, momentum 0.1.
+
+    `use_running_average=True` (decode / eval) consumes copied running stats.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = (
+            self.use_running_average
+            if use_running_average is None
+            else use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
+class LayerNorm(nn.Module):
+    """torch.nn.LayerNorm over the trailing `ndims` axes (eps 1e-5)."""
+
+    ndims: int = 1
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        axes = tuple(range(-self.ndims, 0))
+        shape = x.shape[-self.ndims:]
+        scale = self.param("scale", nn.initializers.ones, shape, self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, shape, self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (y * scale + bias).astype(x.dtype)
+
+
+class InstanceNorm2d(nn.Module):
+    """torch.nn.InstanceNorm2d on NHWC: per-(sample, channel) stats over (T, F).
+
+    torch default: affine=False, no running stats (instance stats at eval too).
+    """
+
+    affine: bool = False
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+def _cumulative_stats(x32: jnp.ndarray, reduce_axes: tuple[int, ...], time_axis: int, eps: float):
+    """Cumulative mean/std over `reduce_axes` + all steps up to t along time."""
+    n_per_step = 1
+    for a in reduce_axes:
+        n_per_step *= x32.shape[a]
+    step_sum = jnp.sum(x32, axis=reduce_axes, keepdims=True)
+    step_pow = jnp.sum(jnp.square(x32), axis=reduce_axes, keepdims=True)
+    cum_sum = jnp.cumsum(step_sum, axis=time_axis)
+    cum_pow = jnp.cumsum(step_pow, axis=time_axis)
+    t_len = x32.shape[time_axis]
+    cnt_shape = [1] * x32.ndim
+    cnt_shape[time_axis] = t_len
+    entry_cnt = (
+        jnp.arange(1, t_len + 1, dtype=jnp.float32).reshape(cnt_shape) * n_per_step
+    )
+    cum_mean = cum_sum / entry_cnt
+    cum_var = (cum_pow - 2.0 * cum_mean * cum_sum) / entry_cnt + jnp.square(cum_mean)
+    cum_std = jnp.sqrt(cum_var + eps)
+    return cum_mean, cum_std
+
+
+class CumulativeLayerNorm2d(nn.Module):
+    """Causal LN on (B, T, F, C): stats over (F, C) cumulative in T."""
+
+    affine: bool = True
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean, std = _cumulative_stats(xf, reduce_axes=(2, 3), time_axis=1, eps=self.eps)
+        y = (xf - mean) / std
+        if self.affine:
+            c = x.shape[-1]
+            gain = self.param("gain", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+            y = y * gain + bias
+        return y.astype(x.dtype)
+
+
+class CumulativeLayerNorm1d(nn.Module):
+    """Causal LN on (B, T, C): stats over C cumulative in T."""
+
+    affine: bool = True
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean, std = _cumulative_stats(xf, reduce_axes=(2,), time_axis=1, eps=self.eps)
+        y = (xf - mean) / std
+        if self.affine:
+            c = x.shape[-1]
+            gain = self.param("gain", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+            y = y * gain + bias
+        return y.astype(x.dtype)

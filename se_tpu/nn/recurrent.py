@@ -1,0 +1,100 @@
+"""Recurrent primitives, TPU-first.
+
+The zoo is recurrence-heavy (LSTM-1024x3, GLSTM, DPRNN, FullSubNet's folded
+sub-band LSTM — ref SURVEY.md §7.3 item 2). The TPU pattern used here:
+
+- the input projection `x @ Wx + b` for ALL timesteps is one large matmul
+  (MXU-friendly, (B*T, in) x (in, 4H));
+- only the hidden-state recurrence runs under `lax.scan`, with a single fused
+  (B, H) x (H, 4H) matmul per step and fp32 carries;
+- gate order is torch's (i, f, g, o) so torch LSTM weights copy over directly
+  (weight_ih -> wx.T, weight_hh -> wh.T, bias_ih + bias_hh -> b).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
+    """xp: (T, B, 4H) precomputed input projections -> (T, B, H) outputs."""
+    t_len, b, four_h = xp.shape
+    h_dim = four_h // 4
+    h0 = jnp.zeros((b, h_dim), jnp.float32)
+    c0 = jnp.zeros((b, h_dim), jnp.float32)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.matmul(h, wh, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (_, _), ys = jax.lax.scan(step, (h0, c0), xp, unroll=unroll)
+    return ys
+
+
+def lstm_layer(
+    x: jnp.ndarray,
+    wx: jnp.ndarray,
+    wh: jnp.ndarray,
+    b: jnp.ndarray,
+    reverse: bool = False,
+    unroll: int = 2,
+) -> jnp.ndarray:
+    """(B, T, in) -> (B, T, H) single-direction LSTM layer."""
+    xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
+    xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
+    if reverse:
+        xp = jnp.flip(xp, axis=0)
+    ys = _lstm_recurrence(xp, wh, unroll=unroll)
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+class LSTM(nn.Module):
+    """Multi-layer (optionally bidirectional) LSTM, torch-weight-compatible.
+
+    Matches torch.nn.LSTM(batch_first=True) semantics: input (B, T, in),
+    output (B, T, H * num_directions), zero initial state.
+    """
+
+    features: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    param_dtype: Any = jnp.float32
+    unroll: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = self.features
+        directions = (False, True) if self.bidirectional else (False,)
+        for layer in range(self.num_layers):
+            in_dim = x.shape[-1]
+            outs = []
+            for rev in directions:
+                sfx = f"l{layer}" + ("_rev" if rev else "")
+                scale = 1.0 / jnp.sqrt(jnp.asarray(h, jnp.float32))
+                init = nn.initializers.uniform(scale=2.0 * float(scale))
+
+                def shifted(key, shape, dtype=self.param_dtype, _i=init, _s=float(scale)):
+                    return _i(key, shape, dtype) - _s
+
+                wx = self.param(f"{sfx}_wx", shifted, (in_dim, 4 * h))
+                wh = self.param(f"{sfx}_wh", shifted, (h, 4 * h))
+                b = self.param(f"{sfx}_b", shifted, (4 * h,))
+                outs.append(
+                    lstm_layer(x, wx, wh, b, reverse=rev, unroll=self.unroll)
+                )
+            x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return x

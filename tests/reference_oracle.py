@@ -1,0 +1,62 @@
+"""Load reference PyTorch model modules by path for golden parity tests.
+
+The reference tree (read-only at /root/reference) has no package structure;
+modules do sibling imports (`from Backup import numParams`), so the model's
+directory is pushed onto sys.path while importing.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+# Reference modules import audio/profiling libs absent from this image at
+# module top level (librosa, soundfile, ptflops, torch_complex); the model
+# classes themselves don't need them, so stub what's missing.
+_STUBBED = ("librosa", "librosa.output", "soundfile", "ptflops",
+            "ptflops.flops_counter", "torch_complex", "pesq", "pystoi")
+
+
+def _install_stubs():
+
+
+    for name in _STUBBED:
+        if name in sys.modules:
+            continue
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue  # actually importable
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
+
+        from unittest.mock import MagicMock
+
+        sys.modules[name] = MagicMock(name=f"stub:{name}")
+
+
+def load_reference_module(subpath: str):
+    """e.g. load_reference_module('GCRN/GCRN_noncprs.py')"""
+    full = os.path.join(REFERENCE_ROOT, subpath)
+    mod_dir = os.path.dirname(full)
+    name = "ref_" + subpath.replace("/", "_").removesuffix(".py")
+    if name in sys.modules:
+        return sys.modules[name]
+    _install_stubs()
+    sys.path.insert(0, mod_dir)
+    try:
+        spec = importlib.util.spec_from_file_location(name, full)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(mod_dir)
+    return mod
+
+
+def state_dict_numpy(model) -> dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}

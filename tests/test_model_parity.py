@@ -1,0 +1,83 @@
+"""Golden parity: our JAX models vs the reference PyTorch forward on CPU,
+with reference weights copied over (SURVEY.md §4 implication (3))."""
+
+import numpy as np
+import pytest
+import torch
+
+from tests.reference_oracle import load_reference_module, state_dict_numpy
+
+torch.manual_seed(0)
+
+B, T, F = 2, 25, 161
+
+
+def _randomize(model):
+    """Perturb params + BN running stats so parity isn't trivially identity."""
+    gen = torch.Generator().manual_seed(42)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.add_(0.05 * torch.randn(p.shape, generator=gen))
+        for m in model.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.add_(0.1 * torch.randn(m.running_mean.shape, generator=gen))
+                m.running_var.mul_(
+                    torch.rand(m.running_var.shape, generator=gen) * 0.5 + 0.75
+                )
+    return model
+
+
+def _compare(ours, theirs, atol=2e-4):
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=atol, rtol=1e-3)
+
+
+def test_lstm_parity(rng):
+    from se_tpu.models.lstm import LSTMNet, from_reference_state_dict
+
+    ref = load_reference_module("LSTM/LSTM.py")
+    net = _randomize(ref.lstm_net().eval())
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = LSTMNet().apply(variables, x)
+    _compare(got, want)
+
+
+def test_crn_parity(rng):
+    from se_tpu.models.crn import CRN, from_reference_state_dict
+
+    ref = load_reference_module("CRN/CRN.py")
+    net = _randomize(ref.crn_net().eval())
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = CRN().apply(variables, x)
+    _compare(got, want)
+
+
+def test_gcrn_parity(rng):
+    from se_tpu.models.gcrn import GCRN, from_reference_state_dict
+
+    ref = load_reference_module("GCRN/GCRN_noncprs.py")
+    net = _randomize(ref.Net().eval())
+    x = rng.standard_normal((B, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()  # (B, 2, T, F)
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = GCRN().apply(variables, np.transpose(x, (0, 2, 3, 1)))  # (B,T,F,2)
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
+
+
+def test_dpcrn_parity(rng):
+    from se_tpu.models.dpcrn import DPCRN, from_reference_state_dict
+
+    ref = load_reference_module("DPCRN/DPCRN.py")
+    net = _randomize(ref.dpcrn().eval())
+    x = rng.standard_normal((B, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = DPCRN().apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
