@@ -1,0 +1,134 @@
+"""Complex-valued NN primitives as (real, imag) channel pairs.
+
+Reconstruction of the `complexnn` module DCCRN imports but which is absent
+from the reference repo (ref: DCCRN/DCCRN_cprs.py:4-6; SURVEY.md §7.3 item 3).
+Semantics follow the in-repo analogue Uformer/conv2d_cplx.py:31-38 and the
+published DCCRN implementation: channels carry [real-half | imag-half], and a
+complex op with shared real/imag sub-ops combines them as
+
+    out_re = op_r(x_re) - op_i(x_im)
+    out_im = op_i(x_re) + op_r(x_im)
+
+Layout: NHWC (B, T, F, C). DCCRN's conv pads time causally (left-only) and
+frequency symmetrically.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from se_tpu.nn.conv import Conv2d, ConvTranspose2d
+from se_tpu.nn.recurrent import LSTM
+
+
+def split_complex(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    c = x.shape[-1] // 2
+    return x[..., :c], x[..., c:]
+
+
+def merge_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([re, im], axis=-1)
+
+
+def complex_cat(xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Concat preserving [reals | imags] halves (ref complexnn.complex_cat)."""
+    reals, imags = zip(*(split_complex(x) for x in xs))
+    return jnp.concatenate(list(reals) + list(imags), axis=-1)
+
+
+class ComplexConv2d(nn.Module):
+    """Complex conv over (T, F); `features` counts TOTAL (re+im) channels.
+
+    `padding_tf` = ((t_lo, t_hi), (f_lo, f_hi)) is applied explicitly; DCCRN
+    uses causal time padding (kt-1, 0) and symmetric frequency padding.
+    """
+
+    features: int
+    kernel_size: Sequence[int]  # (kt, kf)
+    strides: Sequence[int] = (1, 1)
+    padding_tf: Sequence[Sequence[int]] = ((0, 0), (0, 0))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        re, im = split_complex(x)
+        half = self.features // 2
+        conv_r = Conv2d(half, self.kernel_size, self.strides,
+                        padding=tuple(tuple(p) for p in self.padding_tf),
+                        name="real_conv")
+        conv_i = Conv2d(half, self.kernel_size, self.strides,
+                        padding=tuple(tuple(p) for p in self.padding_tf),
+                        name="imag_conv")
+        out_re = conv_r(re) - conv_i(im)
+        out_im = conv_i(re) + conv_r(im)
+        return merge_complex(out_re, out_im)
+
+
+class ComplexConvTranspose2d(nn.Module):
+    """Complex transposed conv; torch ConvTranspose2d geometry per sub-conv."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence[int] = (0, 0)
+    output_padding: Sequence[int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        re, im = split_complex(x)
+        half = self.features // 2
+        conv_r = ConvTranspose2d(half, self.kernel_size, self.strides,
+                                 padding=self.padding,
+                                 output_padding=self.output_padding,
+                                 name="real_conv")
+        conv_i = ConvTranspose2d(half, self.kernel_size, self.strides,
+                                 padding=self.padding,
+                                 output_padding=self.output_padding,
+                                 name="imag_conv")
+        out_re = conv_r(re) - conv_i(im)
+        out_im = conv_i(re) + conv_r(im)
+        return merge_complex(out_re, out_im)
+
+
+class NaiveComplexLSTM(nn.Module):
+    """Complex LSTM: shared real/imag LSTMs combined complex-wise
+    (ref complexnn.NavieComplexLSTM as used at DCCRN/DCCRN_cprs.py:81-92).
+
+    Takes/returns (re, im) pairs shaped (B, T, D/2); optional projection.
+    """
+
+    hidden: int  # total complex hidden size (split in half internally)
+    projection_dim: int | None = None
+
+    @nn.compact
+    def __call__(self, re: jnp.ndarray, im: jnp.ndarray):
+        h = self.hidden // 2
+        lstm_r = LSTM(h, num_layers=1, name="real_lstm")
+        lstm_i = LSTM(h, num_layers=1, name="imag_lstm")
+        r2r = lstm_r(re)
+        r2i = lstm_i(re)
+        i2r = lstm_r(im)
+        i2i = lstm_i(im)
+        out_re = r2r - i2i
+        out_im = i2r + r2i
+        if self.projection_dim is not None:
+            out_re = nn.Dense(self.projection_dim // 2, name="r_trans")(out_re)
+            out_im = nn.Dense(self.projection_dim // 2, name="i_trans")(out_im)
+        return out_re, out_im
+
+
+class ComplexDense(nn.Module):
+    """Complex linear layer (ref: Uformer/linear_cplx.py:11-27)."""
+
+    features: int  # per-part features
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, re: jnp.ndarray, im: jnp.ndarray):
+        dense_r = nn.Dense(self.features, use_bias=self.use_bias, name="linear_real")
+        dense_i = nn.Dense(self.features, use_bias=self.use_bias, name="linear_imag")
+        out_re = dense_r(re) - dense_i(im)
+        out_im = dense_i(re) + dense_r(im)
+        return out_re, out_im

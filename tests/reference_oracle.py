@@ -19,7 +19,8 @@ REFERENCE_ROOT = "/root/reference"
 # module top level (librosa, soundfile, ptflops, torch_complex); the model
 # classes themselves don't need them, so stub what's missing.
 _STUBBED = ("librosa", "librosa.output", "soundfile", "ptflops",
-            "ptflops.flops_counter", "torch_complex", "pesq", "pystoi")
+            "ptflops.flops_counter", "torch_complex", "pesq", "pystoi",
+            "conv_stft")
 
 
 def _install_stubs():
@@ -47,14 +48,25 @@ def load_reference_module(subpath: str):
     if name in sys.modules:
         return sys.modules[name]
     _install_stubs()
-    sys.path.insert(0, mod_dir)
+    if "complexnn" not in sys.modules:
+        # DCCRN's complexnn is absent from the reference repo; use our torch
+        # oracle reconstruction (tests/torch_complexnn.py).
+        from tests import torch_complexnn
+
+        sys.modules["complexnn"] = torch_complexnn
+    # Module dir for sibling imports, parent dir for package-style imports
+    # (FullSubNet/fullsubnet_net_sa is a real package).
+    paths = [mod_dir, os.path.dirname(mod_dir)]
+    for p in paths:
+        sys.path.insert(0, p)
     try:
         spec = importlib.util.spec_from_file_location(name, full)
         mod = importlib.util.module_from_spec(spec)
         sys.modules[name] = mod
         spec.loader.exec_module(mod)
     finally:
-        sys.path.remove(mod_dir)
+        for p in paths:
+            sys.path.remove(p)
     return mod
 
 

@@ -81,3 +81,44 @@ def test_dpcrn_parity(rng):
     variables = from_reference_state_dict(state_dict_numpy(net))
     got = DPCRN().apply(variables, np.transpose(x, (0, 2, 3, 1)))
     _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
+
+
+def test_fullsubnet_parity(rng):
+    from se_tpu.models.fullsubnet import FullSubNet, from_reference_state_dict
+
+    ref = load_reference_module("FullSubNet/fullsubnet_net_sa/model.py")
+    net = ref.Model(
+        sb_num_neighbors=15, fb_num_neighbors=0, num_freqs=257, look_ahead=2,
+        sequence_model="LSTM", fb_output_activate_function="ReLU",
+        sb_output_activate_function=None, fb_model_hidden_size=512,
+        sb_model_hidden_size=384, weight_init=False,
+        norm_type="offline_laplace_norm", num_groups_in_drop_band=2,
+    ).eval()
+    x = np.abs(rng.standard_normal((1, 1, 257, 20))).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()  # (B, 2, F, T)
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = FullSubNet().apply(variables, x[:, 0].transpose(0, 2, 1))  # (B,T,F)
+    _compare(np.transpose(np.asarray(got), (0, 3, 2, 1)), want, atol=5e-4)
+
+
+@pytest.mark.parametrize("snr_variant", [False, True])
+def test_dccrn_parity(rng, snr_variant):
+    from se_tpu.models.dccrn import DCCRN, from_reference_state_dict
+
+    if snr_variant:
+        ref = load_reference_module("DCCRN_SNR/DCCRN.py")
+        net = ref.DCCRN(rnn_units=256, use_clstm=True,
+                        kernel_num=[32, 64, 128, 256, 256, 256]).eval()
+    else:
+        ref = load_reference_module("DCCRN/DCCRN_cprs.py")
+        net = ref.DCCRN(rnn_units=256, masking_mode="E", use_clstm=True,
+                        kernel_num=[32, 64, 128, 256, 256, 256]).eval()
+    _randomize(net)
+    x = rng.standard_normal((1, 2, 257, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()  # (B, 2, F, T)
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    model = DCCRN(snr_variant=snr_variant)
+    got = model.apply(variables, np.transpose(x, (0, 3, 2, 1)))  # (B,T,F,2)
+    _compare(np.transpose(np.asarray(got), (0, 3, 2, 1)), want, atol=5e-4)
