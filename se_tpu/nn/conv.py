@@ -137,6 +137,82 @@ class ConvTranspose2d(nn.Module):
         return out
 
 
+class CausalConv1d(nn.Module):
+    """Dilated 1-D conv on (B, T, C) with explicit left padding.
+
+    `left_pad` defaults to (k-1)*dilation (fully causal); CTSNet's TCMs pass
+    4*dilation for kernel 5 (ref CTSNet_new/Step1_network.py:168-170).
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    left_pad: int | None = None
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (self.kernel_size, in_ch, self.features),
+            self.param_dtype,
+        )
+        pad = (
+            (self.kernel_size - 1) * self.dilation
+            if self.left_pad is None
+            else self.left_pad
+        )
+        out = lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(pad, 0)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _torch_bias_init(self.kernel_size * in_ch),
+                (self.features,),
+                self.param_dtype,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class ShareSepConv(nn.Module):
+    """Depthwise 1-D conv with ONE kernel shared across all channels, causal
+    left pad, identity (one-hot center) init (ref CTSNet_new
+    Step1_network.py:196-211)."""
+
+    kernel_size: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+
+        def onehot_init(key, shape, dtype=self.param_dtype):
+            w = jnp.zeros(shape, dtype)
+            return w.at[(k - 1) // 2].set(1.0)
+
+        w = self.param("weight", onehot_init, (k,))
+        c = x.shape[-1]
+        kernel = jnp.broadcast_to(w[:, None, None], (k, 1, c)).astype(x.dtype)
+        return lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k - 1, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=c,
+        )
+
+
 class GluConv2d(nn.Module):
     """conv1(x) * sigmoid(conv2(x))  (ref GCRN/GCRN_noncprs.py:42-60)."""
 

@@ -85,6 +85,28 @@ class InstanceNorm2d(nn.Module):
         return y.astype(x.dtype)
 
 
+class InstanceNorm1d(nn.Module):
+    """torch.nn.InstanceNorm1d on (B, T, C): per-(sample, channel) stats
+    over T (used by the CTSNet/G2Net_VB 'old' norm variants)."""
+
+    affine: bool = True
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
 def _cumulative_stats(x32: jnp.ndarray, reduce_axes: tuple[int, ...], time_axis: int, eps: float):
     """Cumulative mean/std over `reduce_axes` + all steps up to t along time."""
     n_per_step = 1

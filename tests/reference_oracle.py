@@ -20,7 +20,8 @@ REFERENCE_ROOT = "/root/reference"
 # classes themselves don't need them, so stub what's missing.
 _STUBBED = ("librosa", "librosa.output", "soundfile", "ptflops",
             "ptflops.flops_counter", "torch_complex", "pesq", "pystoi",
-            "conv_stft")
+            "pystoi.stoi", "conv_stft", "matplotlib", "matplotlib.pyplot",
+            "data", "Step2_config")
 
 
 def _install_stubs():

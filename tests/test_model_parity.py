@@ -122,3 +122,51 @@ def test_dccrn_parity(rng, snr_variant):
     model = DCCRN(snr_variant=snr_variant)
     got = model.apply(variables, np.transpose(x, (0, 3, 2, 1)))  # (B,T,F,2)
     _compare(np.transpose(np.asarray(got), (0, 3, 2, 1)), want, atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", ["cln", "in"])
+def test_ctsnet_parity(rng, variant):
+    from se_tpu.models.ctsnet import (
+        CTSNet, from_reference_state_dicts,
+    )
+
+    d = "CTSNet_new" if variant == "cln" else "CTSNet"
+    s1_mod = load_reference_module(f"{d}/Step1_network.py")
+    s2_mod = load_reference_module(f"{d}/Step2_network.py")
+    net1 = _randomize(s1_mod.Step1_net().eval())
+    net2 = _randomize(s2_mod.Step2_net(X=6, R=3).eval())
+
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        mag = torch.norm(xt, dim=1)
+        phase = torch.atan2(xt[:, 1], xt[:, 0])
+        s1_mag = net1(mag)
+        s1 = torch.stack((s1_mag * torch.cos(phase), s1_mag * torch.sin(phase)), dim=1)
+        s2 = net2(torch.cat((xt, s1), dim=1))
+        want = (s1 + s2).numpy()
+
+    variables = from_reference_state_dicts(
+        state_dict_numpy(net1), state_dict_numpy(net2)
+    )
+    model = CTSNet(norm=variant)
+    got = model.apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=5e-4)
+
+
+def test_g2net_parity(rng):
+    from se_tpu.models.g2net import G2Net, from_reference_state_dict
+
+    ref = load_reference_module("G2Net_new/gaf_net_320.py")
+    net = _randomize(ref.gaf_base(
+        3, 64, 2, 4, 4, [1, 2, 5, 9], 256 + 161 * 2, 256, 256, (2, 3), (1, 3),
+        64, "cat", 3, is_aux=False, encoder_type="U2Net", tcm_type="full-band",
+    ).eval())
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in net(torch.from_numpy(x))]  # each (B,2,F,T)
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = G2Net().apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    assert got.shape[0] == 3
+    for s in range(3):
+        _compare(np.transpose(np.asarray(got[s]), (0, 3, 2, 1)), want[s], atol=5e-4)
