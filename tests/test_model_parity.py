@@ -170,3 +170,24 @@ def test_g2net_parity(rng):
     assert got.shape[0] == 3
     for s in range(3):
         _compare(np.transpose(np.asarray(got[s]), (0, 3, 2, 1)), want[s], atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", ["cln", "in"])
+def test_taylorsenet_parity(rng, variant):
+    from se_tpu.models.taylorsenet import TaylorSENet, from_reference_state_dict
+
+    d = "TaylorSENet_new" if variant == "cln" else "TaylorSENet"
+    ref = load_reference_module(f"{d}/TaylorSENet.py")
+    net = _randomize(ref.TaylorSENet(
+        cin=2, k1=(1, 3), k2=(2, 3), c=64, kd1=5, cd1=64, d_feat=256,
+        dilations=[1, 2, 5, 9], p=2, fft_num=320, order_num=3,
+        intra_connect="cat", inter_connect="cat", is_causal=True,
+        is_conformer=False, is_u2=True, is_param_share=False,
+        is_encoder_share=False,
+    ).eval())
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()  # (B, 2, T, F)
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = TaylorSENet(norm=variant).apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=5e-4)
