@@ -1,0 +1,598 @@
+"""Uformer: dilated dual-path complex/real conformer U-net, waveform in/out
+(ref: Uformer/uformer.py:30-304).
+
+Dual-branch U-net: a complex branch (full-channel complex convs carrying
+(re, im) pairs — ref conv2d_cplx.py:11-68) and a magnitude branch
+(conv2d_real.py), 6 levels each (channels 1->8->16->32->64->128->128), with
+encoder/decoder cross-branch fusion after every level (ref fusion.py:13-19:
+mag += sigmoid(|cplx|), cplx += sigmoid(mag)). Bottleneck =
+Dilated_Dualpath_Conformer (ref dilated_dualpath_conformer.py:23-78):
+FF -> T-attention -> F-attention -> 8 dilated DSConv blocks (dilations 1..128
+paired with reversed) -> FF -> LayerNorm, fusing branches after every step.
+Complex attention combines 8 real attentions as (A-B-C-D, E+F+G-H)
+(ref t_att_cplx.py:54-70). Output: sigmoid mag-mask and E-style complex mask
+averaged (ref uformer.py:236-262); STFT/iSTFT in-graph.
+
+TPU notes: our NHWC layout (B, T, F, C) makes every torch transpose-for-
+LayerNorm a no-op, and the T/F attention folds are pure reshapes. The in-graph
+DFT rides se_tpu.ops.stft (matmul basis, MXU).
+
+Quirks preserved: EPSILON added inside atan2/tanh args, residuals scaled by
+0.5 in the FF blocks, decoder concatenates [skip, x] (skip first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from se_tpu.nn import BatchNorm, Conv2d, ConvTranspose2d, LayerNorm
+from se_tpu.nn.activations import PReLU
+from se_tpu.nn.complex_ops import ComplexDense
+from se_tpu.ops.stft import PRESET_UFORMER, istft, stft
+from se_tpu.models.registry import ModelEntry, register
+from se_tpu.utils import torch_compat as tc
+
+EPS = float(np.finfo(np.float32).eps)
+KERNELS = (1, 8, 16, 32, 64, 128, 128)
+DILATIONS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class CConvEnc(nn.Module):
+    """Uformer complex conv: FULL-channel shared real/imag convs
+    (ref conv2d_cplx.py:11-38). kernel (kt=2, kf=5), causal T, sym F."""
+
+    features: int
+    kernel: tuple[int, int] = (2, 5)
+    strides: tuple[int, int] = (1, 2)
+    padding: tuple = ((1, 0), (2, 2))
+    dilation: tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, re, im):
+        conv_r = Conv2d(self.features, self.kernel, self.strides,
+                        padding=self.padding, dilation=self.dilation,
+                        name="real_conv")
+        conv_i = Conv2d(self.features, self.kernel, self.strides,
+                        padding=self.padding, dilation=self.dilation,
+                        name="imag_conv")
+        out_re = conv_r(re) - conv_i(im)
+        out_im = conv_r(im) + conv_i(re)
+        return out_re, out_im
+
+
+class CConvDec(nn.Module):
+    features: int
+    kernel: tuple[int, int] = (2, 5)
+    strides: tuple[int, int] = (1, 2)
+
+    @nn.compact
+    def __call__(self, re, im):
+        t_in = re.shape[1]
+        conv_r = ConvTranspose2d(self.features, self.kernel, self.strides,
+                                 padding=(0, 2), output_padding=(0, 1),
+                                 name="real_conv")
+        conv_i = ConvTranspose2d(self.features, self.kernel, self.strides,
+                                 padding=(0, 2), output_padding=(0, 1),
+                                 name="imag_conv")
+        out_re = (conv_r(re) - conv_i(im))[:, :t_in]
+        out_im = (conv_r(im) + conv_i(re))[:, :t_in]
+        return out_re, out_im
+
+
+class RConvEnc(nn.Module):
+    features: int
+    kernel: tuple[int, int] = (2, 5)
+    strides: tuple[int, int] = (1, 2)
+    padding: tuple = ((1, 0), (2, 2))
+    dilation: tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2d(self.features, self.kernel, self.strides,
+                      padding=self.padding, dilation=self.dilation,
+                      name="conv")(x)
+
+
+class RConvDec(nn.Module):
+    features: int
+    kernel: tuple[int, int] = (2, 5)
+    strides: tuple[int, int] = (1, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        t_in = x.shape[1]
+        return ConvTranspose2d(self.features, self.kernel, self.strides,
+                               padding=(0, 2), output_padding=(0, 1),
+                               name="conv")(x)[:, :t_in]
+
+
+def fusion(re, im, mag):
+    """Cross-branch coupling (ref fusion.py:13-19)."""
+    cplx_mag = jnp.sqrt(jnp.maximum(re**2 + im**2, EPS))
+    mag_out = mag + nn.sigmoid(cplx_mag)
+    s = nn.sigmoid(mag)
+    return re + s, im + s, mag_out
+
+
+class ComplexBN(nn.Module):
+    """torch BatchNorm3d on (N,C,F,T,2): shared per-channel stats over re+im."""
+
+    @nn.compact
+    def __call__(self, re, im, train: bool = False):
+        stacked = jnp.stack([re, im], axis=1)  # (B, 2, T, F, C)
+        out = BatchNorm(name="bn3d")(stacked, use_running_average=not train)
+        return out[:, 0], out[:, 1]
+
+
+class FFCplx(nn.Module):
+    """(ref ff_cplx.py:10-33); LN and PReLU shared across re/im."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, re, im, deterministic: bool = True):
+        ln = LayerNorm(name="ln")
+        act = PReLU(None, name="prelu")
+        drop = nn.Dropout(0.1, deterministic=deterministic)
+        yr, yi = ln(re), ln(im)
+        yr, yi = ComplexDense(self.hidden, name="linear1")(yr, yi)
+        yr, yi = act(yr), act(yi)
+        yr, yi = drop(yr), drop(yi)
+        yr, yi = ComplexDense(re.shape[-1], name="linear2")(yr, yi)
+        yr, yi = drop(yr), drop(yi)
+        return yr * 0.5 + re, yi * 0.5 + im
+
+
+class FFReal(nn.Module):
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = LayerNorm(name="ln")(x)
+        y = nn.Dense(self.hidden, name="linear1")(y)
+        y = PReLU(None, name="prelu")(y)
+        y = nn.Dropout(0.1, deterministic=deterministic)(y)
+        y = nn.Dense(x.shape[-1], name="linear2")(y)
+        y = nn.Dropout(0.1, deterministic=deterministic)(y)
+        return y * 0.5 + x
+
+
+class SingleAtt(nn.Module):
+    """One scaled-dot attention over the middle axis of (N, L, C)
+    (ref t_att_cplx.py T_att:15-37)."""
+
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        q = nn.Dense(self.hidden, name="query")(q)
+        k = nn.Dense(self.hidden, name="key")(k)
+        v = nn.Dense(self.hidden, name="value")(v)
+        energy = jnp.einsum("nlc,nmc->nlm", q, k) / np.sqrt(self.hidden)
+        return jnp.einsum("nlm,nmc->nlc", nn.softmax(energy, axis=-1), v)
+
+
+class ComplexSelfAtt(nn.Module):
+    """8 real attentions combined as (A-B-C-D, E+F+G-H)
+    (ref t_att_cplx.py:40-70)."""
+
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, re, im):
+        ln1 = LayerNorm(name="ln1")
+        r, i = ln1(re), ln1(im)
+        att = [SingleAtt(self.hidden, name=f"att{k + 1}") for k in range(8)]
+        a = att[0](r, r, r)
+        b = att[1](r, i, i)
+        c = att[2](i, r, i)
+        d = att[3](i, i, r)
+        e = att[4](r, r, i)
+        f = att[5](r, i, r)
+        g = att[6](i, r, r)
+        h = att[7](i, i, i)
+        out_r, out_i = a - b - c - d, e + f + g - h
+        ln2 = LayerNorm(name="ln2")
+        return ln2(out_r), ln2(out_i)
+
+
+class ComplexAxialAtt(nn.Module):
+    """Axial attention branch over T (axis="t") or F (axis="f")
+    (ref t_att_cplx.py:73-96, f_att_cplx.py:66-88)."""
+
+    axis: str
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, re, im, deterministic: bool = True):
+        b, t, f, c = re.shape
+
+        def fold(x):
+            if self.axis == "t":
+                return jnp.swapaxes(x, 1, 2).reshape(b * f, t, c)
+            return x.reshape(b * t, f, c)
+
+        def unfold(x):
+            if self.axis == "t":
+                return jnp.swapaxes(x.reshape(b, f, t, c), 1, 2)
+            return x.reshape(b, t, f, c)
+
+        r, i = ComplexSelfAtt(self.hidden, name="att")(fold(re), fold(im))
+        r, i = ComplexDense(c, name="transform")(r, i)
+        r, i = unfold(r), unfold(i)
+        ln3 = LayerNorm(name="ln3")
+        act = PReLU(None, name="prelu")
+        drop = nn.Dropout(0.1, deterministic=deterministic)
+        r, i = drop(act(ln3(r))), drop(act(ln3(i)))
+        return r + re, i + im
+
+
+class RealAxialAtt(nn.Module):
+    axis: str
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, f, c = x.shape
+
+        def fold(y):
+            if self.axis == "t":
+                return jnp.swapaxes(y, 1, 2).reshape(b * f, t, c)
+            return y.reshape(b * t, f, c)
+
+        def unfold(y):
+            if self.axis == "t":
+                return jnp.swapaxes(y.reshape(b, f, t, c), 1, 2)
+            return y.reshape(b, t, f, c)
+
+        h = fold(x)
+        h = LayerNorm(name="ln1")(h)
+        h = SingleAtt(self.hidden, name="att")(h, h, h)
+        h = LayerNorm(name="ln2")(h)
+        h = nn.Dense(c, name="transform")(h)
+        h = unfold(h)
+        h = PReLU(None, name="prelu")(LayerNorm(name="ln3")(h))
+        h = nn.Dropout(0.1, deterministic=deterministic)(h)
+        return h + x
+
+
+class DSConvCplx(nn.Module):
+    """Gated dilated DSConv block (ref dsconv2d_cplx.py:11-60). Dilation on T,
+    symmetric padding (non-causal), elementwise (per-component) gating."""
+
+    conv_channels: int = 32
+    dilation1: int = 1
+    dilation2: int = 1
+
+    @nn.compact
+    def __call__(self, re, im, deterministic: bool = True):
+        c_in = re.shape[-1]
+        ln1 = LayerNorm(name="ln1")
+        act = PReLU(None, name="prelu")
+        yr, yi = ln1(re), ln1(im)
+        yr, yi = CConvEnc(self.conv_channels, (1, 1), (1, 1),
+                          padding=((0, 0), (0, 0)), name="conv1x1")(yr, yi)
+        yr, yi = act(yr), act(yi)
+        d1, d2 = self.dilation1, self.dilation2
+        a_r, a_i = CConvEnc(self.conv_channels, (3, 3), (1, 1),
+                            padding=((d1, d1), (1, 1)), dilation=(d1, 1),
+                            name="dconv1")(yr, yi)
+        g_r, g_i = CConvEnc(self.conv_channels, (3, 3), (1, 1),
+                            padding=((d2, d2), (1, 1)), dilation=(d2, 1),
+                            name="dconv2")(yr, yi)
+        yr, yi = a_r * nn.sigmoid(g_r), a_i * nn.sigmoid(g_i)
+        ln2 = LayerNorm(name="ln2")
+        yr, yi = ln2(yr), ln2(yi)
+        yr, yi = yr * nn.sigmoid(yr), yi * nn.sigmoid(yi)
+        yr, yi = CConvEnc(c_in, (1, 1), (1, 1),
+                          padding=((0, 0), (0, 0)), name="sconv")(yr, yi)
+        drop = nn.Dropout(0.1, deterministic=deterministic)
+        return re + drop(yr), im + drop(yi)
+
+
+class DSConvReal(nn.Module):
+    conv_channels: int = 32
+    dilation1: int = 1
+    dilation2: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c_in = x.shape[-1]
+        y = LayerNorm(name="ln1")(x)
+        y = RConvEnc(self.conv_channels, (1, 1), (1, 1),
+                     padding=((0, 0), (0, 0)), name="conv1x1")(y)
+        y = PReLU(None, name="prelu")(y)
+        d1, d2 = self.dilation1, self.dilation2
+        a = RConvEnc(self.conv_channels, (3, 3), (1, 1),
+                     padding=((d1, d1), (1, 1)), dilation=(d1, 1),
+                     name="dconv1")(y)
+        g = RConvEnc(self.conv_channels, (3, 3), (1, 1),
+                     padding=((d2, d2), (1, 1)), dilation=(d2, 1),
+                     name="dconv2")(y)
+        y = a * nn.sigmoid(g)
+        y = LayerNorm(name="ln2")(y)
+        y = y * nn.sigmoid(y)
+        y = RConvEnc(c_in, (1, 1), (1, 1), padding=((0, 0), (0, 0)),
+                     name="sconv")(y)
+        y = nn.Dropout(0.1, deterministic=deterministic)(y)
+        return x + y
+
+
+class DilatedDualpathConformer(nn.Module):
+    """(ref dilated_dualpath_conformer.py:23-78)."""
+
+    @nn.compact
+    def __call__(self, re, im, mag, deterministic: bool = True):
+        re, im = FFCplx(name="ff1_cplx")(re, im, deterministic)
+        mag = FFReal(name="ff1_mag")(mag, deterministic)
+        re, im, mag = fusion(re, im, mag)
+
+        re, im = ComplexAxialAtt("t", name="cplx_tatt")(re, im, deterministic)
+        mag = RealAxialAtt("t", name="mag_tatt")(mag, deterministic)
+        re, im, mag = fusion(re, im, mag)
+
+        re, im = ComplexAxialAtt("f", name="cplx_fatt")(re, im, deterministic)
+        mag = RealAxialAtt("f", name="mag_fatt")(mag, deterministic)
+        re, im, mag = fusion(re, im, mag)
+
+        n = len(DILATIONS)
+        for idx, d in enumerate(DILATIONS):
+            d2 = DILATIONS[n - idx - 1]
+            re, im = DSConvCplx(32, d, d2, name=f"dsconv_cplx{idx}")(
+                re, im, deterministic)
+            mag = DSConvReal(32, d, d2, name=f"dsconv_real{idx}")(
+                mag, deterministic)
+            re, im, mag = fusion(re, im, mag)
+
+        re, im = FFCplx(name="ff2_cplx")(re, im, deterministic)
+        mag = FFReal(name="ff2_mag")(mag, deterministic)
+        re, im, mag = fusion(re, im, mag)
+
+        ln_c = LayerNorm(name="ln_conformer_cplx")
+        re, im = ln_c(re), ln_c(im)
+        mag = LayerNorm(name="ln_conformer_mag")(mag)
+        return re, im, mag
+
+
+class Uformer(nn.Module):
+    """Waveform -> (est_wav, src_wav_rt, est_cplx(re,im), src_cplx(re,im)).
+
+    `compressed=True` applies the mag**0.5 regime inside the graph (the cprs
+    training variant: ref uformer.py:190,201 commented pairs + decode usage).
+    """
+
+    compressed: bool = False
+
+    @nn.compact
+    def __call__(self, noisy, src, train: bool = False):
+        cfg = PRESET_UFORMER
+        deterministic = not train
+        n_re, n_im = stft(noisy, cfg)  # (B, T, F)
+        s_re, s_im = stft(src, cfg)
+        t_frames = n_re.shape[1]
+        out_len = (t_frames - 1) * cfg.hop
+        src_rt = istft(s_re, s_im, cfg, length=out_len)
+
+        s_mag = jnp.sqrt(jnp.maximum(s_re**2 + s_im**2, EPS))
+        s_pha = jnp.arctan2(s_im + EPS, s_re)
+        if self.compressed:
+            s_mag = s_mag**0.5
+        src_cplx = (s_mag * jnp.cos(s_pha), s_mag * jnp.sin(s_pha))
+
+        mag_full = jnp.sqrt(jnp.maximum(n_re**2 + n_im**2, EPS))
+        phase = jnp.arctan2(n_im + EPS, n_re)
+        if self.compressed:
+            mag_full = mag_full**0.5
+        re = (mag_full * jnp.cos(phase))[..., 1:, None]  # strip DC, add C
+        im = (mag_full * jnp.sin(phase))[..., 1:, None]
+        mag = mag_full[..., 1:, None]
+
+        skips_c, skips_m = [], []
+        for i in range(6):
+            re, im = CConvEnc(KERNELS[i + 1], name=f"enc{i}")(re, im)
+            re, im = ComplexBN(name=f"enc_bn{i}")(re, im, train=train)
+            act = PReLU(None, name=f"enc_act{i}")
+            re, im = act(re), act(im)
+            mag = RConvEnc(KERNELS[i + 1], name=f"enc_real{i}")(mag)
+            mag = BatchNorm(name=f"enc_real_bn{i}")(mag, use_running_average=not train)
+            mag = PReLU(None, name=f"enc_real_act{i}")(mag)
+            re, im, mag = fusion(re, im, mag)
+            skips_c.append((re, im))
+            skips_m.append(mag)
+
+        re, im, mag = DilatedDualpathConformer(name="conformer")(
+            re, im, mag, deterministic)
+
+        for i in range(6):
+            skip_re, skip_im = skips_c[-1 - i]
+            # decoder cat order: [skip, x] (ref uformer.py:226-231)
+            re = jnp.concatenate([skip_re, re], axis=-1)
+            im = jnp.concatenate([skip_im, im], axis=-1)
+            re, im = CConvDec(KERNELS[5 - i], name=f"dec{i}")(re, im)
+            mag = jnp.concatenate([skips_m[-1 - i], mag], axis=-1)
+            mag = RConvDec(KERNELS[5 - i], name=f"dec_real{i}")(mag)
+            if i < 5:
+                re, im = ComplexBN(name=f"dec_bn{i}")(re, im, train=train)
+                act = PReLU(None, name=f"dec_act{i}")
+                re, im = act(re), act(im)
+                mag = BatchNorm(name=f"dec_real_bn{i}")(mag, use_running_average=not train)
+                mag = PReLU(None, name=f"dec_real_act{i}")(mag)
+            re, im, mag = fusion(re, im, mag)
+
+        # heads (ref uformer.py:236-262); channel dim is 1 -> drop it
+        mag = nn.sigmoid(mag[..., 0])
+        mag = jnp.pad(mag, ((0, 0), (0, 0), (1, 0)))  # re-pad DC
+        mag = mag * mag_full
+
+        mask_re, mask_im = re[..., 0], im[..., 0]
+        mask_mags = jnp.sqrt(jnp.maximum(mask_re**2 + mask_im**2, EPS))
+        real_phase = mask_re / (mask_mags + EPS)
+        imag_phase = mask_im / (mask_mags + EPS)
+        mask_mags = jnp.tanh(mask_mags + EPS)
+        mask_phase = jnp.arctan2(imag_phase + EPS, real_phase)
+        mask_mags = jnp.pad(mask_mags, ((0, 0), (0, 0), (1, 0)))
+        mask_phase = jnp.pad(mask_phase, ((0, 0), (0, 0), (1, 0)))
+
+        est_mags = mask_mags * mag_full
+        est_phase = phase + mask_phase
+        mag_fused = (est_mags + mag) * 0.5
+
+        out_re = mag_fused * jnp.cos(est_phase)
+        out_im = mag_fused * jnp.sin(est_phase)
+        out_cplx = (out_re, out_im)
+        if self.compressed:
+            mag_fused = mag_fused**2
+            out_re = mag_fused * jnp.cos(est_phase)
+            out_im = mag_fused * jnp.sin(est_phase)
+        est = istft(out_re, out_im, cfg, length=out_len)
+        return est, src_rt, out_cplx, src_cplx
+
+
+# ---------------------------------------------------------------- conversion
+
+def _cconv(sd, p, transpose=False):
+    fn = tc.conv_transpose2d if transpose else tc.conv2d
+    out = {"real_conv": fn(sd, f"{p}.real_conv"),
+           "imag_conv": fn(sd, f"{p}.imag_conv")}
+    for v in out.values():  # torch kernels are (kf, kt); ours (kt, kf)
+        v["kernel"] = v["kernel"].transpose(1, 0, 2, 3)
+    return out
+
+
+def _rconv(sd, p, transpose=False):
+    fn = tc.conv_transpose2d if transpose else tc.conv2d
+    out = {"conv": fn(sd, p)}
+    out["conv"]["kernel"] = out["conv"]["kernel"].transpose(1, 0, 2, 3)
+    return out
+
+
+def _ln(sd, p):
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def _prelu(sd, p):
+    return {"weight": sd[f"{p}.weight"].reshape(())}
+
+
+def _cdense(sd, p):
+    return {"linear_real": tc.dense(sd, f"{p}.real_linear"),
+            "linear_imag": tc.dense(sd, f"{p}.imag_linear")}
+
+
+def _ff_cplx(sd, p):
+    return {"ln": _ln(sd, f"{p}.layernorm_linear"),
+            "linear1": _cdense(sd, f"{p}.linear1"),
+            "linear2": _cdense(sd, f"{p}.linear2"),
+            "prelu": _prelu(sd, f"{p}.prelu")}
+
+
+def _ff_real(sd, p):
+    return {"ln": _ln(sd, f"{p}.layernorm_linear"),
+            "linear1": tc.dense(sd, f"{p}.linear1.linear"),
+            "linear2": tc.dense(sd, f"{p}.linear2.linear"),
+            "prelu": _prelu(sd, f"{p}.prelu")}
+
+
+def _single_att(sd, p):
+    return {"query": tc.dense(sd, f"{p}.query.linear"),
+            "key": tc.dense(sd, f"{p}.key.linear"),
+            "value": tc.dense(sd, f"{p}.value.linear")}
+
+
+def _cplx_att(sd, p, axis):
+    att_name = "T_att" if axis == "t" else "F_att"
+    inner = {f"att{k}": _single_att(sd, f"{p}.attn_heads.0.{att_name}{k}")
+             for k in range(1, 9)}
+    inner["ln1"] = _ln(sd, f"{p}.attn_heads.0.layernorm1")
+    inner["ln2"] = _ln(sd, f"{p}.attn_heads.0.layernorm2")
+    return {"att": inner,
+            "transform": _cdense(sd, f"{p}.transform_linear"),
+            "ln3": _ln(sd, f"{p}.layernorm3"),
+            "prelu": _prelu(sd, f"{p}.prelu")}
+
+
+def _real_att(sd, p, axis):
+    att_name = "T_att" if axis == "t" else "F_att"
+    return {"ln1": _ln(sd, f"{p}.attn_heads.0.layernorm1"),
+            "ln2": _ln(sd, f"{p}.attn_heads.0.layernorm2"),
+            "att": _single_att(sd, f"{p}.attn_heads.0.{att_name}"),
+            "transform": tc.dense(sd, f"{p}.transform_linear.linear"),
+            "ln3": _ln(sd, f"{p}.layernorm3"),
+            "prelu": _prelu(sd, f"{p}.prelu")}
+
+
+def _dsconv_cplx(sd, p):
+    return {"ln1": _ln(sd, f"{p}.layernorm_conv1"),
+            "conv1x1": _cconv(sd, f"{p}.conv1x1"),
+            "prelu": _prelu(sd, f"{p}.prelu"),
+            "dconv1": _cconv(sd, f"{p}.dconv1"),
+            "dconv2": _cconv(sd, f"{p}.dconv2"),
+            "ln2": _ln(sd, f"{p}.layernorm_conv2"),
+            "sconv": _cconv(sd, f"{p}.sconv")}
+
+
+def _dsconv_real(sd, p):
+    return {"ln1": _ln(sd, f"{p}.layernorm_conv1"),
+            "conv1x1": _rconv(sd, f"{p}.conv1x1.conv"),
+            "prelu": _prelu(sd, f"{p}.prelu"),
+            "dconv1": _rconv(sd, f"{p}.dconv1.conv"),
+            "dconv2": _rconv(sd, f"{p}.dconv2.conv"),
+            "ln2": _ln(sd, f"{p}.layernorm_conv2"),
+            "sconv": _rconv(sd, f"{p}.sconv.conv")}
+
+
+def from_reference_state_dict(sd: dict) -> dict:
+    params: dict = {}
+    stats: dict = {}
+    for i in range(6):
+        params[f"enc{i}"] = _cconv(sd, f"encoder.{i}.0")
+        params[f"enc_bn{i}"] = {"bn3d": tc.batchnorm_params(sd, f"encoder.{i}.1")}
+        stats[f"enc_bn{i}"] = {"bn3d": tc.batchnorm_stats(sd, f"encoder.{i}.1")}
+        params[f"enc_act{i}"] = _prelu(sd, f"encoder.{i}.2")
+        params[f"enc_real{i}"] = _rconv(sd, f"encoder_real.{i}.0.conv")
+        params[f"enc_real_bn{i}"] = tc.batchnorm_params(sd, f"encoder_real.{i}.1")
+        stats[f"enc_real_bn{i}"] = tc.batchnorm_stats(sd, f"encoder_real.{i}.1")
+        params[f"enc_real_act{i}"] = _prelu(sd, f"encoder_real.{i}.2")
+
+        params[f"dec{i}"] = _cconv(sd, f"decoder.{i}.0", transpose=True)
+        params[f"dec_real{i}"] = _rconv(sd, f"decoder_real.{i}.0.conv",
+                                        transpose=True)
+        if i < 5:
+            params[f"dec_bn{i}"] = {"bn3d": tc.batchnorm_params(sd, f"decoder.{i}.1")}
+            stats[f"dec_bn{i}"] = {"bn3d": tc.batchnorm_stats(sd, f"decoder.{i}.1")}
+            params[f"dec_act{i}"] = _prelu(sd, f"decoder.{i}.2")
+            params[f"dec_real_bn{i}"] = tc.batchnorm_params(sd, f"decoder_real.{i}.1")
+            stats[f"dec_real_bn{i}"] = tc.batchnorm_stats(sd, f"decoder_real.{i}.1")
+            params[f"dec_real_act{i}"] = _prelu(sd, f"decoder_real.{i}.2")
+
+    conf: dict = {
+        "ff1_cplx": _ff_cplx(sd, "conformer.ff1_cplx"),
+        "ff1_mag": _ff_real(sd, "conformer.ff1_mag"),
+        "ff2_cplx": _ff_cplx(sd, "conformer.ff2_cplx"),
+        "ff2_mag": _ff_real(sd, "conformer.ff2_mag"),
+        "cplx_tatt": _cplx_att(sd, "conformer.cplx_tatt", "t"),
+        "cplx_fatt": _cplx_att(sd, "conformer.cplx_fatt", "f"),
+        "mag_tatt": _real_att(sd, "conformer.mag_tatt", "t"),
+        "mag_fatt": _real_att(sd, "conformer.mag_fatt", "f"),
+        "ln_conformer_cplx": _ln(sd, "conformer.ln_conformer_cplx"),
+        "ln_conformer_mag": _ln(sd, "conformer.ln_conformer_mag"),
+    }
+    for idx in range(8):
+        conf[f"dsconv_cplx{idx}"] = _dsconv_cplx(sd, f"conformer.dsconv_cplx.{idx}")
+        conf[f"dsconv_real{idx}"] = _dsconv_real(sd, f"conformer.dsconv_real.{idx}")
+    params["conformer"] = conf
+    return {"params": params, "batch_stats": stats}
+
+
+register(
+    ModelEntry(
+        name="uformer",
+        make=Uformer,
+        stft=PRESET_UFORMER,
+        io_kind="waveform",
+        from_reference_state_dict=from_reference_state_dict,
+        variants=("cprs",),
+    )
+)

@@ -63,7 +63,8 @@ class StftConfig:
 PRESET_320 = StftConfig(win_length=320, hop=160, n_fft=320)          # LSTM/CRN/GCRN/DPCRN/CTSNet/G2Net/TaylorSENet
 PRESET_512_256 = StftConfig(win_length=512, hop=256, n_fft=512)      # FullSubNet
 PRESET_512_128 = StftConfig(win_length=512, hop=128, n_fft=512)      # DCCRN
-PRESET_UFORMER = StftConfig(win_length=400, hop=160, n_fft=512, window="sqrthann")
+# uformer.py:178 uses torch.hann_window(400) with n_fft=512 (center-padded)
+PRESET_UFORMER = StftConfig(win_length=400, hop=160, n_fft=512, window="hann")
 PRESET_DEEPXI = StftConfig(
     win_length=512, hop=256, n_fft=512, window="hamming", convention="pad_end"
 )

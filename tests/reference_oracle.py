@@ -21,7 +21,7 @@ REFERENCE_ROOT = "/root/reference"
 _STUBBED = ("librosa", "librosa.output", "soundfile", "ptflops",
             "ptflops.flops_counter", "torch_complex", "pesq", "pystoi",
             "pystoi.stoi", "conv_stft", "matplotlib", "matplotlib.pyplot",
-            "data", "Step2_config")
+            "data", "Step2_config", "show", "librosa.filters")
 
 
 def _install_stubs():

@@ -191,3 +191,48 @@ def test_taylorsenet_parity(rng, variant):
     variables = from_reference_state_dict(state_dict_numpy(net))
     got = TaylorSENet(norm=variant).apply(variables, np.transpose(x, (0, 2, 3, 1)))
     _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=5e-4)
+
+
+def test_uformer_parity(rng, monkeypatch):
+    from se_tpu.models.uformer import Uformer, from_reference_state_dict
+
+    # reference materializes windows with .cuda() in-graph (uformer.py:178);
+    # run the oracle on CPU by making .cuda a no-op.
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    # reference targets the pre-1.8 stft/istft API (real (..,2) tensors)
+    _stft, _istft = torch.stft, torch.istft
+
+    def old_stft(inp, n_fft, hop_length=None, win_length=None, window=None, **kw):
+        kw.pop("return_complex", None)
+        spec = _stft(inp, n_fft, hop_length, win_length, window,
+                     return_complex=True, **kw)
+        return torch.view_as_real(spec)
+
+    def old_istft(inp, n_fft, hop_length=None, win_length=None, window=None, **kw):
+        if not inp.is_complex() and inp.shape[-1] == 2:
+            inp = torch.view_as_complex(inp.contiguous())
+        return _istft(inp, n_fft, hop_length, win_length, window, **kw)
+
+    monkeypatch.setattr(torch, "stft", old_stft)
+    monkeypatch.setattr(torch, "istft", old_istft)
+    ref = load_reference_module("Uformer/uformer.py")
+    net = _randomize(ref.Uformer().eval())
+    n = 4000
+    x = rng.standard_normal((1, n)).astype(np.float32) * 0.1
+    s = rng.standard_normal((1, n)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want_wav, want_src, want_cplx, want_src_cplx = net(
+            torch.from_numpy(x), torch.from_numpy(s))
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    est, src_rt, out_cplx, src_cplx = Uformer().apply(variables, x, s)
+    np.testing.assert_allclose(np.asarray(src_rt), want_src.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    # out_cplx: ours (re, im) each (B,T,F); reference (B,2,F,T)
+    np.testing.assert_allclose(
+        np.asarray(out_cplx[0]).transpose(0, 2, 1),
+        want_cplx[:, 0].numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(out_cplx[1]).transpose(0, 2, 1),
+        want_cplx[:, 1].numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(est), want_wav.numpy(),
+                               atol=2e-3, rtol=1e-2)
