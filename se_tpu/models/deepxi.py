@@ -1,0 +1,359 @@
+"""DeepXi: hybrid deep a-priori-SNR estimator + statistical gain
+(ref: DeepXi/deepxi/model.py:34-711, network/tcn.py:116-225, map.py:15-608,
+inp_tgt.py:68-215, sig.py:43-260).
+
+Shipped configuration (ref DeepXi/config_resnet.py:40-66): ResNetV2 with 40
+bottleneck residual blocks, d_model=256, d_f=64, k=3, cyclic dilation up to
+16, causal padding, unit "ReLU->LN->W+b", sigmoid output; input/target MagXi
+(noisy STMS in, mapped instantaneous a-priori SNR out) with the DBNormalCDF
+map; enhancement via `y_STMS = x_STMS * gfunc(xi_hat, xi_hat+1, 'mmse-lsa')`.
+
+The STFT front-end is tf.signal-convention (hamming, pad_end) — PRESET_DEEPXI.
+xi statistics (per-bin mean/std of instantaneous xi in dB over a training
+sample) are computed by `compute_xi_stats` (ref model.py:84-96).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.scipy.special import erf, erfinv
+
+from se_tpu.eval.gains import gfunc
+from se_tpu.ops.stft import PRESET_DEEPXI, istft, stft
+from se_tpu.models.registry import ModelEntry, register
+
+
+# ------------------------------------------------------------------ xi maps
+
+def _db(x):
+    x = jnp.maximum(x, 1e-12)
+    return 10.0 * jnp.log(x) / jnp.log(10.0)
+
+
+def _db_inverse(x_db):
+    return jnp.power(10.0, x_db / 10.0)
+
+
+@dataclasses.dataclass
+class XiMap:
+    """Invertible scalar map family (ref DeepXi/deepxi/map.py).
+
+    `map_type` composes prefixes: e.g. "DBNormalCDF" = dB then Gaussian CDF.
+    Statistics-dependent maps need `fit(xi_sample)` before use.
+    """
+
+    map_type: str
+    params: Any = None
+    mu: Any = None
+    sigma: Any = None
+    vmin: Any = None
+    vmax: Any = None
+    b: Any = None
+
+    def _pre(self, x):
+        if "Square" in self.map_type:
+            x = jnp.square(x)
+        if "DB" in self.map_type:
+            x = _db(x)
+        return x
+
+    def _post(self, x):
+        if "DB" in self.map_type:
+            x = _db_inverse(x)
+        if "Square" in self.map_type:
+            x = jnp.sqrt(x)
+        return x
+
+    def _laplace_cdf(self, x, mu, b):
+        v = x - mu
+        return 0.5 + 0.5 * jnp.sign(v) * (1.0 - jnp.exp(-jnp.abs(v) / b))
+
+    def _laplace_cdf_inverse(self, x_bar, mu, b):
+        v = x_bar - 0.5
+        return mu - b * jnp.sign(v) * jnp.log(
+            jnp.maximum(1.0 - 2.0 * jnp.abs(v), 1e-12)
+        )
+
+    def fit(self, xi_sample: np.ndarray) -> None:
+        """Per-frequency-bin statistics from a (N, F) training sample."""
+        x = np.asarray(self._pre(jnp.asarray(xi_sample)))
+        if "NormalCDF" in self.map_type or "Standardise" in self.map_type:
+            self.mu = x.mean(axis=0)
+            self.sigma = x.std(axis=0)
+        elif "MinMaxScaling" in self.map_type:
+            self.vmin = x.min(axis=0)
+            self.vmax = x.max(axis=0)
+        elif "TruncatedLaplaceCDF" in self.map_type:
+            mu, lower, upper = self.params
+            self.b = np.array([
+                (x[:, i][(x[:, i] > mu) & (x[:, i] < upper)] - mu).mean()
+                for i in range(x.shape[1])
+            ])
+        elif "LaplaceCDF" in self.map_type:
+            mu = self.params
+            self.b = np.array([
+                (x[:, i][x[:, i] > mu] - mu).mean() for i in range(x.shape[1])
+            ])
+
+    def map(self, x):
+        mt = self.map_type
+        if "NormalCDF" in mt:
+            x = self._pre(x)
+            return 0.5 * (1.0 + erf((x - self.mu) / (self.sigma * np.sqrt(2.0))))
+        if "TruncatedLaplaceCDF" in mt:
+            mu, lower, upper = self.params
+            x = self._pre(x)
+            lo = self._laplace_cdf(lower, mu, self.b)
+            hi = self._laplace_cdf(upper, mu, self.b)
+            x_bar = (self._laplace_cdf(x, mu, self.b) - lo) / (hi - lo)
+            x_bar = jnp.where(x < lower, jnp.zeros_like(x), x_bar)
+            return jnp.where(x > upper, jnp.ones_like(x), x_bar)
+        if "LaplaceCDF" in mt:
+            x = self._pre(x)
+            return self._laplace_cdf(x, self.params, self.b)
+        if "UniformCDF" in mt:
+            a, b = self.params
+            return (x - a) / (b - a)
+        if "Standardise" in mt:
+            return (self._pre(x) - self.mu) / self.sigma
+        if "MinMaxScaling" in mt:
+            x = self._pre(x)
+            return jnp.clip((x - self.vmin) / (self.vmax - self.vmin), 0.0, 1.0)
+        if "Logistic" in mt:
+            k, x0 = self.params
+            if "DB" in mt:
+                x = _db(x)
+            return 1.0 / (1.0 + jnp.exp(-k * (x - x0)))
+        if "Clip" in mt:
+            lo, hi = self.params
+            x_bar = jnp.clip(x, lo, hi)
+            if "Square" in mt:
+                x_bar = jnp.square(x_bar)
+            if "DB" in mt:
+                x_bar = _db(x_bar)
+            return x_bar
+        if "Square" in mt:
+            x_bar = jnp.square(x)
+            return _db(x_bar) if "DB" in mt else x_bar
+        if mt == "DB":
+            return _db(x)
+        if mt == "Linear":
+            return x
+        raise ValueError(f"invalid map_type {mt!r}")
+
+    def inverse(self, x_bar):
+        mt = self.map_type
+        if "NormalCDF" in mt:
+            # clip away exact 0/1 so erfinv stays finite (sigmoid outputs
+            # saturate in float32; the reference inherits inf/NaN here)
+            x_bar = jnp.clip(x_bar, 1e-7, 1.0 - 1e-7)
+            x = self.mu + self.sigma * np.sqrt(2.0) * erfinv(2.0 * x_bar - 1.0)
+            return self._post(x)
+        if "TruncatedLaplaceCDF" in mt:
+            mu, lower, upper = self.params
+            lo = self._laplace_cdf(lower, mu, self.b)
+            hi = self._laplace_cdf(upper, mu, self.b)
+            x_bar = x_bar * (hi - lo) + lo
+            x = self._laplace_cdf_inverse(x_bar, mu, self.b)
+            return _db_inverse(x) if "DB" in mt else x
+        if "LaplaceCDF" in mt:
+            x = self._laplace_cdf_inverse(x_bar, self.params, self.b)
+            return _db_inverse(x) if "DB" in mt else x
+        if "UniformCDF" in mt:
+            a, b = self.params
+            return x_bar * (b - a) + a
+        if "Standardise" in mt:
+            return self._post(x_bar * self.sigma + self.mu)
+        if "MinMaxScaling" in mt:
+            return self._post(x_bar * (self.vmax - self.vmin) + self.vmin)
+        if "Logistic" in mt:
+            k, x0 = self.params
+            x = x0 - jnp.log(jnp.maximum(1.0 / x_bar - 1.0, 1e-12)) / k
+            return _db_inverse(x) if "DB" in mt else x
+        if "Clip" in mt:
+            x = x_bar
+            if "DB" in mt:
+                x = _db_inverse(x)
+            if "Square" in mt:
+                x = jnp.sqrt(x)
+            return x
+        if "Square" in mt:
+            x = _db_inverse(x_bar) if "DB" in mt else x_bar
+            return jnp.sqrt(x)
+        if mt == "DB":
+            return _db_inverse(x_bar)
+        if mt == "Linear":
+            return x_bar
+        raise ValueError(f"invalid map_type {mt!r}")
+
+
+# ------------------------------------------------------------------ network
+
+class ResNetV2(nn.Module):
+    """Causal bottleneck-residual TCN with cyclic dilation
+    (ref network/tcn.py:116-225). Input (B, T, n_feat); output (B, T, n_outp).
+
+    Frame-wise LayerNorm (eps 1e-6): first layer scale-only; block units
+    have neither scale nor centre.
+    """
+
+    n_outp: int = 257
+    n_blocks: int = 40
+    d_model: int = 256
+    d_f: int = 64
+    k: int = 3
+    max_d_rate: int = 16
+    unit_type: str = "ReLU->LN->W+b"
+    outp_act: str = "Sigmoid"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.d_model, name="ff_conv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=True,
+                         name="ff_norm")(h)
+        h = nn.relu(h)
+
+        n_rates = int(np.log2(self.max_d_rate)) + 1
+        for i in range(self.n_blocks):
+            d_rate = int(2 ** (i % n_rates))
+            h = self._block(h, d_rate, i)
+
+        out = nn.Dense(self.n_outp, name="out_conv")(h)
+        if self.outp_act == "Sigmoid":
+            out = nn.sigmoid(out)
+        elif self.outp_act == "ReLU":
+            out = nn.relu(out)
+        return out
+
+    def _unit(self, x, n_filt, k, d_rate, name):
+        ln = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                          name=f"{name}_norm")
+        if self.unit_type == "LN->ReLU->W+b":
+            x = nn.relu(ln(x))
+        elif self.unit_type == "ReLU->LN->W+b":
+            x = ln(nn.relu(x))
+        else:
+            raise ValueError(f"invalid unit_type {self.unit_type!r}")
+        if k == 1:
+            return nn.Dense(n_filt, name=f"{name}_conv")(x)
+        from se_tpu.nn.conv import CausalConv1d
+
+        return CausalConv1d(n_filt, k, dilation=d_rate, name=f"{name}_conv")(x)
+
+    def _block(self, x, d_rate, i):
+        h = self._unit(x, self.d_f, 1, 1, f"b{i}_1")
+        h = self._unit(h, self.d_f, self.k, d_rate, f"b{i}_2")
+        h = self._unit(h, self.d_model, 1, 1, f"b{i}_3")
+        return x + h
+
+
+class ResLSTM(nn.Module):
+    """Residual LSTM stack (ref network/rnn.py:13-55)."""
+
+    n_outp: int = 257
+    n_blocks: int = 5
+    d_model: int = 512
+    outp_act: str = "Sigmoid"
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from se_tpu.nn import LSTM
+
+        h = nn.relu(nn.Dense(self.d_model, name="ff")(x))
+        for i in range(self.n_blocks):
+            y = LSTM(self.d_model, num_layers=1,
+                     bidirectional=self.bidirectional, name=f"lstm{i}")(h)
+            if self.bidirectional:
+                y = nn.Dense(self.d_model, name=f"proj{i}")(y)
+            h = h + y
+        out = nn.Dense(self.n_outp, name="out")(h)
+        if self.outp_act == "Sigmoid":
+            out = nn.sigmoid(out)
+        elif self.outp_act == "ReLU":
+            out = nn.relu(out)
+        return out
+
+
+# --------------------------------------------------------------- MagXi glue
+
+def polar_analysis(x: jnp.ndarray):
+    """Waveform -> (STMS, STPS) under the tf.signal convention
+    (ref deepxi/sig.py:43-55)."""
+    re, im = stft(x, PRESET_DEEPXI)
+    mag = jnp.sqrt(re * re + im * im)
+    phase = jnp.arctan2(im, re)
+    return mag, phase
+
+
+def polar_synthesis(stms: jnp.ndarray, stps: jnp.ndarray, length=None):
+    """(STMS, STPS) -> waveform (ref deepxi/sig.py:57-69)."""
+    re = stms * jnp.cos(stps)
+    im = stms * jnp.sin(stps)
+    return istft(re, im, PRESET_DEEPXI, length=length)
+
+
+def instantaneous_xi(s_stms, d_stms):
+    """|S|^2 / max(|D|^2, 1e-12) (ref sig.py:110-121)."""
+    return jnp.square(s_stms) / jnp.maximum(jnp.square(d_stms), 1e-12)
+
+
+def compute_xi_stats(clean_wavs: Sequence[np.ndarray],
+                     noise_wavs: Sequence[np.ndarray],
+                     xi_map: XiMap) -> XiMap:
+    """Fit a map from per-utterance instantaneous xi (ref model.py:84-96,
+    inp_tgt.py:155-166). Waveforms are float arrays at 16 kHz."""
+    frames = []
+    for s, d in zip(clean_wavs, noise_wavs):
+        n = min(len(s), len(d))
+        s_stms, _ = polar_analysis(jnp.asarray(s[:n])[None])
+        d_stms, _ = polar_analysis(jnp.asarray(d[:n])[None])
+        frames.append(np.asarray(instantaneous_xi(s_stms, d_stms))[0])
+    xi_map.fit(np.vstack(frames))
+    return xi_map
+
+
+class DeepXi(nn.Module):
+    """End-to-end enhancement: STMS -> ResNetV2 -> xi_bar_hat. Use
+    `enhance()` for the full waveform pipeline with a fitted map."""
+
+    network: str = "ResNetV2"
+    n_feat: int = 257
+
+    @nn.compact
+    def __call__(self, x_stms: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        del train
+        if self.network == "ResNetV2":
+            return ResNetV2(n_outp=self.n_feat, name="net")(x_stms)
+        if self.network == "ResLSTM":
+            return ResLSTM(n_outp=self.n_feat, name="net")(x_stms)
+        raise ValueError(f"unknown network {self.network!r}")
+
+
+def enhance(variables, model: DeepXi, wav: jnp.ndarray, xi_map: XiMap,
+            gain: str = "mmse-lsa", length: int | None = None) -> jnp.ndarray:
+    """(B, n) noisy waveform -> enhanced waveform
+    (ref deepxi/model.py:232-340, inp_tgt.py:194-210)."""
+    x_stms, x_stps = polar_analysis(wav)
+    xi_bar_hat = model.apply(variables, x_stms)
+    xi_hat = xi_map.inverse(xi_bar_hat)
+    gamma_hat = xi_hat + 1.0
+    y_stms = x_stms * gfunc(xi_hat, gamma_hat, gain)
+    return polar_synthesis(y_stms, x_stps, length=length)
+
+
+register(
+    ModelEntry(
+        name="deepxi",
+        make=DeepXi,
+        stft=PRESET_DEEPXI,
+        io_kind="hybrid",
+        from_reference_state_dict=None,  # reference is TF; no torch weights
+        variants=("resnet", "reslstm"),
+    )
+)

@@ -1,0 +1,108 @@
+"""DeepXi components: gains vs scipy oracles, xi-map round trips, ResNetV2
+shape/param-count (published 1.95 M, BASELINE.md Table D)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.special as spsp
+
+from se_tpu.eval import gains
+from se_tpu.models.deepxi import (
+    DeepXi,
+    XiMap,
+    compute_xi_stats,
+    enhance,
+    instantaneous_xi,
+    polar_analysis,
+)
+
+
+def _xi_gamma(rng, n=1000):
+    xi = np.abs(rng.standard_normal(n)).astype(np.float32) * 5 + 1e-3
+    gamma = xi + 1.0
+    return xi, gamma
+
+
+def test_mmse_lsa_matches_scipy(rng):
+    xi, gamma = _xi_gamma(rng)
+    v1 = xi / (1 + xi)
+    want = v1 * np.exp(0.5 * spsp.exp1(v1 * gamma))
+    got = np.asarray(gains.mmse_lsa(jnp.asarray(xi), jnp.asarray(gamma)))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_mmse_stsa_matches_scipy(rng):
+    xi, gamma = _xi_gamma(rng)
+    nu = xi * gamma / (1 + xi)
+    want = (
+        (np.sqrt(np.pi) / 2)
+        * (np.sqrt(nu) / gamma)
+        * np.exp(-nu / 2)
+        * ((1 + nu) * spsp.i0(nu / 2) + nu * spsp.i1(nu / 2))
+    )
+    bad = np.isnan(want) | np.isinf(want)
+    want[bad] = (xi / (1 + xi))[bad]
+    got = np.asarray(gains.mmse_stsa(jnp.asarray(xi), jnp.asarray(gamma)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("gtype", ["wf", "srwf", "cwf", "irm", "ibm", "deepmmse"])
+def test_simple_gains_finite(rng, gtype):
+    xi, gamma = _xi_gamma(rng)
+    g = np.asarray(gains.gfunc(jnp.asarray(xi), jnp.asarray(gamma), gtype))
+    assert np.all(np.isfinite(g))
+
+
+@pytest.mark.parametrize("map_type", ["DBNormalCDF", "NormalCDF", "DB",
+                                      "Standardise", "MinMaxScaling"])
+def test_xi_map_roundtrip(rng, map_type):
+    xi_sample = np.abs(rng.standard_normal((500, 257))).astype(np.float32) * 3 + 1e-3
+    m = XiMap(map_type)
+    m.fit(xi_sample)
+    x = jnp.asarray(xi_sample[:32])
+    x_bar = np.asarray(m.map(x))
+    x_rec = np.asarray(m.inverse(jnp.asarray(x_bar)))
+    # CDF maps saturate in float32 beyond ~2.5 sigma; compare the interior.
+    interior = (x_bar > 0.02) & (x_bar < 0.98) if "CDF" in map_type else \
+        np.ones_like(x_bar, bool)
+    np.testing.assert_allclose(x_rec[interior], xi_sample[:32][interior],
+                               rtol=5e-2, atol=1e-4)
+
+
+def test_xi_map_truncated_laplace_roundtrip(rng):
+    xi_db = rng.standard_normal((500, 257)).astype(np.float32) * 10
+    m = XiMap("DBTruncatedLaplaceCDF", params=(0.0, -40.0, 40.0))
+    m.fit(np.power(10.0, xi_db / 10.0))
+    x = jnp.asarray(np.power(10.0, xi_db[:8] / 10.0))
+    x_rec = np.asarray(m.inverse(m.map(x)))
+    interior = (xi_db[:8] > -39) & (xi_db[:8] < 39)
+    np.testing.assert_allclose(x_rec[interior], np.asarray(x)[interior],
+                               rtol=2e-2)
+
+
+def test_resnetv2_param_count_and_shapes(rng):
+    model = DeepXi()
+    x = jnp.asarray(rng.standard_normal((2, 30, 257)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    # BASELINE.md Table D: DeepXi 1.95 M parameters
+    assert abs(n_params - 1.95e6) / 1.95e6 < 0.02, n_params
+    out = model.apply(variables, x)
+    assert out.shape == (2, 30, 257)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
+
+
+def test_deepxi_end_to_end_enhance(rng):
+    n = 8192
+    s = rng.standard_normal(n).astype(np.float32) * 0.1
+    d = rng.standard_normal(n).astype(np.float32) * 0.05
+    xi_map = XiMap("DBNormalCDF")
+    compute_xi_stats([s], [d], xi_map)
+    model = DeepXi()
+    x = (s + d)[None]
+    stms, _ = polar_analysis(jnp.asarray(x))
+    variables = model.init(jax.random.PRNGKey(0), stms)
+    y = enhance(variables, model, jnp.asarray(x), xi_map, length=n)
+    assert y.shape == (1, n)
+    assert np.all(np.isfinite(np.asarray(y)))
