@@ -1,0 +1,179 @@
+"""Objective metrics: SI-SDR, SNR/SDR, segmental SNR, LSD, STOI and eSTOI.
+
+The reference scores with MATLAB scripts plus the pesq/pystoi packages
+(ref DeepXi/deepxi/model.py:342-460, deepxi/*.m); neither is available in
+this image, so STOI/eSTOI are implemented here from the published algorithm
+(Taal et al. 2011 / Jensen & Taal 2016) in numpy:
+
+- resample to 10 kHz, 512-point frames with 256 hop (50%), hann;
+- drop silent frames (energy 40 dB below the loudest frame);
+- 15 one-third-octave bands starting at 150 Hz;
+- STOI: per-band/segment (N=30) correlation of clipped, normalized
+  envelopes; eSTOI: spectral-normalized segment correlations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from se_tpu.data.wav import resample
+
+EPS = np.finfo(np.float64).eps
+
+
+# ----------------------------------------------------------------- waveform
+
+def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+    """Scale-invariant SDR (zero-mean), dB."""
+    est = est - est.mean()
+    ref = ref - ref.mean()
+    alpha = np.dot(est, ref) / (np.dot(ref, ref) + EPS)
+    target = alpha * ref
+    noise = est - target
+    return float(10 * np.log10((np.sum(target**2) + EPS) / (np.sum(noise**2) + EPS)))
+
+
+def snr(est: np.ndarray, ref: np.ndarray) -> float:
+    """Plain SNR (a.k.a. SDR without projection), dB."""
+    noise = est - ref
+    return float(10 * np.log10((np.sum(ref**2) + EPS) / (np.sum(noise**2) + EPS)))
+
+
+def seg_snr(est: np.ndarray, ref: np.ndarray, frame: int = 256,
+            hop: int = 128, min_db: float = -10.0, max_db: float = 35.0) -> float:
+    """Segmental SNR with the usual [-10, 35] dB clamp."""
+    n_frames = (len(ref) - frame) // hop + 1
+    vals = []
+    for i in range(n_frames):
+        s = ref[i * hop : i * hop + frame]
+        e = est[i * hop : i * hop + frame] - s
+        val = 10 * np.log10((np.sum(s**2) + EPS) / (np.sum(e**2) + EPS))
+        vals.append(np.clip(val, min_db, max_db))
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def lsd(est: np.ndarray, ref: np.ndarray, n_fft: int = 512, hop: int = 256) -> float:
+    """Log-spectral distance, dB."""
+    def spec(x):
+        n_frames = (len(x) - n_fft) // hop + 1
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = x[idx] * np.hanning(n_fft)
+        return np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+
+    p_e, p_r = spec(est) + EPS, spec(ref) + EPS
+    d = (10 * np.log10(p_e / p_r)) ** 2
+    return float(np.mean(np.sqrt(np.mean(d, axis=-1))))
+
+
+# --------------------------------------------------------------- STOI/eSTOI
+
+_FS = 10000
+_N_FFT = 512
+_HOP = 256  # 50% of the 512 window
+_WIN = 512
+_N_BANDS = 15
+_MIN_FREQ = 150.0
+_SEG = 30  # analysis segment length (frames)
+_BETA_DB = -15.0
+_DYN_RANGE = 40.0
+
+
+@functools.lru_cache(maxsize=1)
+def _third_octave_bands() -> np.ndarray:
+    """(15, 257) one-third-octave band matrix at 10 kHz / 512-point FFT."""
+    f = np.linspace(0, _FS, _N_FFT, endpoint=False)[: _N_FFT // 2 + 1]
+    k = np.arange(_N_BANDS)
+    cf = _MIN_FREQ * np.power(2.0, k / 3.0)
+    lo = cf * 2 ** (-1.0 / 6.0)
+    hi = cf * 2 ** (1.0 / 6.0)
+    bands = np.zeros((_N_BANDS, len(f)))
+    for i in range(_N_BANDS):
+        lo_idx = np.argmin((f - lo[i]) ** 2)
+        hi_idx = np.argmin((f - hi[i]) ** 2)
+        bands[i, lo_idx:hi_idx] = 1.0
+    return bands
+
+
+def _stft_frames(x: np.ndarray) -> np.ndarray:
+    n_frames = (len(x) - _WIN) // _HOP + 1
+    if n_frames < 1:
+        return np.zeros((0, _N_FFT // 2 + 1))
+    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_WIN)[None, :]
+    frames = x[idx] * np.hanning(_WIN)
+    return np.abs(np.fft.rfft(frames, n=_N_FFT, axis=-1))
+
+
+def _remove_silent_frames(x: np.ndarray, y: np.ndarray):
+    n_frames = (len(x) - _WIN) // _HOP + 1
+    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_WIN)[None, :]
+    w = np.hanning(_WIN)
+    energies = 20 * np.log10(np.linalg.norm(x[idx] * w, axis=1) + EPS)
+    mask = energies > energies.max() - _DYN_RANGE
+    if not mask.any():
+        return x, y
+    xf = (x[idx] * w)[mask]
+    yf = (y[idx] * w)[mask]
+    count = mask.sum()
+    n_out = (count - 1) * _HOP + _WIN
+    xs = np.zeros(n_out)
+    ys = np.zeros(n_out)
+    norm = np.zeros(n_out)
+    for i in range(count):
+        sl = slice(i * _HOP, i * _HOP + _WIN)
+        xs[sl] += xf[i]
+        ys[sl] += yf[i]
+        norm[sl] += w
+    return xs, ys
+
+
+def _band_envelopes(x: np.ndarray) -> np.ndarray:
+    spec = _stft_frames(x)  # (T, 257)
+    bands = _third_octave_bands()
+    return np.sqrt((spec**2) @ bands.T + EPS)  # (T, 15)
+
+
+def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000,
+         extended: bool = False) -> float:
+    """Short-time objective intelligibility in [0, 1]."""
+    if fs != _FS:
+        est = resample(est.astype(np.float64), fs, _FS)
+        ref = resample(ref.astype(np.float64), fs, _FS)
+    ref, est = _remove_silent_frames(np.asarray(ref, np.float64),
+                                     np.asarray(est, np.float64))
+    x = _band_envelopes(ref)  # clean (T, J)
+    y = _band_envelopes(est)  # degraded
+    t = x.shape[0]
+    if t < _SEG:
+        return float("nan")
+
+    scores = []
+    for m in range(_SEG, t + 1):
+        xs = x[m - _SEG : m]  # (N, J)
+        ys = y[m - _SEG : m]
+        if extended:
+            # eSTOI: row+column normalized segment correlation
+            xn = xs / (np.linalg.norm(xs, axis=0, keepdims=True) + EPS)
+            yn = ys / (np.linalg.norm(ys, axis=0, keepdims=True) + EPS)
+            xn = xn - xn.mean(axis=1, keepdims=True)
+            yn = yn - yn.mean(axis=1, keepdims=True)
+            xn = xn / (np.linalg.norm(xn, axis=1, keepdims=True) + EPS)
+            yn = yn / (np.linalg.norm(yn, axis=1, keepdims=True) + EPS)
+            scores.append(np.sum(xn * yn) / _SEG)
+        else:
+            alpha = np.linalg.norm(xs, axis=0) / (np.linalg.norm(ys, axis=0) + EPS)
+            ysa = ys * alpha[None, :]
+            clip = xs * (1.0 + 10 ** (-_BETA_DB / 20.0))
+            ysa = np.minimum(ysa, clip)
+            xm = xs - xs.mean(axis=0, keepdims=True)
+            ym = ysa - ysa.mean(axis=0, keepdims=True)
+            corr = np.sum(xm * ym, axis=0) / (
+                np.linalg.norm(xm, axis=0) * np.linalg.norm(ym, axis=0) + EPS
+            )
+            scores.append(corr.mean())
+    return float(np.mean(scores))
+
+
+def estoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
+    return stoi(est, ref, fs, extended=True)

@@ -84,10 +84,10 @@ class LSTM(nn.Module):
             outs = []
             for rev in directions:
                 sfx = f"l{layer}" + ("_rev" if rev else "")
-                scale = 1.0 / jnp.sqrt(jnp.asarray(h, jnp.float32))
-                init = nn.initializers.uniform(scale=2.0 * float(scale))
+                scale = 1.0 / float(h) ** 0.5  # torch U(-1/sqrt(H), 1/sqrt(H))
+                init = nn.initializers.uniform(scale=2.0 * scale)
 
-                def shifted(key, shape, dtype=self.param_dtype, _i=init, _s=float(scale)):
+                def shifted(key, shape, dtype=self.param_dtype, _i=init, _s=scale):
                     return _i(key, shape, dtype) - _s
 
                 wx = self.param(f"{sfx}_wx", shifted, (in_dim, 4 * h))
