@@ -31,6 +31,7 @@ from se_tpu.nn import BatchNorm, Conv2d, ConvTranspose2d, LayerNorm
 from se_tpu.nn.activations import PReLU
 from se_tpu.nn.complex_ops import ComplexDense
 from se_tpu.ops.stft import PRESET_UFORMER, istft, stft
+from se_tpu.parallel.mesh import shard_activation
 from se_tpu.models.registry import ModelEntry, register
 from se_tpu.utils import torch_compat as tc
 
@@ -219,7 +220,12 @@ class ComplexAxialAtt(nn.Module):
                 return jnp.swapaxes(x.reshape(b, f, t, c), 1, 2)
             return x.reshape(b, t, f, c)
 
-        r, i = ComplexSelfAtt(self.hidden, name="att")(fold(re), fold(im))
+        # Sequence-parallel: the T-attention fold puts F on the batch dim
+        # and the F-attention fold puts T there — shard it over 'model'
+        # when a mesh is active (ref SURVEY.md §2.5 consequence (2)).
+        fr = shard_activation(fold(re), "model", None, None)
+        fi = shard_activation(fold(im), "model", None, None)
+        r, i = ComplexSelfAtt(self.hidden, name="att")(fr, fi)
         r, i = ComplexDense(c, name="transform")(r, i)
         r, i = unfold(r), unfold(i)
         ln3 = LayerNorm(name="ln3")
@@ -247,7 +253,7 @@ class RealAxialAtt(nn.Module):
                 return jnp.swapaxes(y.reshape(b, f, t, c), 1, 2)
             return y.reshape(b, t, f, c)
 
-        h = fold(x)
+        h = shard_activation(fold(x), "model", None, None)
         h = LayerNorm(name="ln1")(h)
         h = SingleAtt(self.hidden, name="att")(h, h, h)
         h = LayerNorm(name="ln2")(h)

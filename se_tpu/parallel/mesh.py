@@ -1,0 +1,87 @@
+"""Mesh construction and sharding helpers.
+
+Typical use:
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)          # leading axis over 'data'
+    with activation_mesh(mesh):
+        loss, state = train_step(state, batch)  # jitted
+
+Inside model code, `shard_activation(x, None, "model")` lays an activation
+axis over the 'model' mesh axis when a mesh is active and is a no-op
+otherwise — this is how the Uformer axial-attention folds pick up
+sequence-parallel sharding without threading a mesh through every module
+(ref SURVEY.md §2.5 consequence (2)).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ACTIVE_MESH: contextvars.ContextVar[Mesh | None] = contextvars.ContextVar(
+    "se_tpu_active_mesh", default=None
+)
+
+
+def make_mesh(axes: Mapping[str, int] | None = None,
+              devices=None) -> Mesh:
+    """Build a Mesh. Default: all devices on a single 'data' axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axes is None:
+        axes = {"data": len(devices)}
+    names = tuple(axes)
+    shape = tuple(axes[n] for n in names)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh {dict(axes)} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Shard every leaf's leading dimension across `axis`."""
+
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+@contextlib.contextmanager
+def activation_mesh(mesh: Mesh | None):
+    """Make `mesh` visible to shard_activation inside jitted model code."""
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH.get()
+
+
+def shard_activation(x, *spec):
+    """with_sharding_constraint(x, P(*spec)) if a mesh with those axes is
+    active; identity otherwise. Unknown axis names degrade to None."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    cleaned = tuple(s if (s is None or s in mesh.axis_names) else None
+                    for s in spec)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*cleaned))
+    )
