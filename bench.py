@@ -1,0 +1,94 @@
+"""Benchmark: enhancement throughput in audio-seconds per second per chip.
+
+Runs the flagship Uformer enhancement path (waveform -> waveform, in-graph
+STFT) on whatever device JAX provides (the real TPU chip under the driver;
+CPU locally), measuring steady-state throughput after compilation. Prints
+ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md) — vs_baseline
+is computed against real-time (1.0 = real-time enhancement of one stream),
+so values >> 1 are faster-than-real-time multiples per chip.
+
+Set SE_TPU_BENCH_MODEL to bench a different zoo model; SE_TPU_BENCH_ALL=1
+prints per-model results for the whole zoo on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+SR = 16000
+
+
+def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
+    from se_tpu.eval.enhance import _enhance_jit
+    from se_tpu.models import get_model
+    from se_tpu.ops.stft import stft
+
+    entry = get_model(name)
+    model = entry.make()
+    n = int(seconds * SR)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32) * 0.1
+
+    if entry.io_kind == "waveform":
+        variables = model.init(jax.random.PRNGKey(0), wav[:1], wav[:1])
+    else:
+        re, im = stft(wav[:1], entry.stft)
+        mag = jnp.sqrt(re**2 + im**2)
+        feats = mag if entry.io_kind in ("mag_mask", "cirm") else (
+            jnp.stack([re, im], axis=-1))
+        variables = model.init(jax.random.PRNGKey(0), feats)
+
+    compressed = True
+
+    def run():
+        return _enhance_jit(entry, model, variables, wav, compressed, n)
+
+    out = run()
+    out.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    audio_seconds = batch * seconds
+    return audio_seconds / dt
+
+
+def main():
+    name = os.environ.get("SE_TPU_BENCH_MODEL", "uformer")
+    batch = int(os.environ.get("SE_TPU_BENCH_BATCH", "8"))
+    seconds = float(os.environ.get("SE_TPU_BENCH_SECONDS", "8"))
+
+    if os.environ.get("SE_TPU_BENCH_ALL"):
+        from se_tpu.models import available_models
+
+        for m in available_models():
+            if m == "deepxi":
+                continue
+            try:
+                thr = _bench_model(m, batch, seconds)
+                print(f"{m}: {thr:.1f} audio-s/s/chip", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"{m}: FAILED {e}", file=sys.stderr)
+
+    throughput = _bench_model(name, batch, seconds)
+    print(json.dumps({
+        "metric": f"{name}_enhance_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(throughput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
