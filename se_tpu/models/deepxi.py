@@ -16,6 +16,7 @@ sample) are computed by `compute_xi_stats` (ref model.py:84-96).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -252,8 +253,129 @@ class ResNetV2(nn.Module):
         return x + h
 
 
+def _outp_act(out, kind: str):
+    if kind == "Sigmoid":
+        return nn.sigmoid(out)
+    if kind == "ReLU":
+        return nn.relu(out)
+    if kind == "Linear":
+        return out
+    raise ValueError("Invalid outp_act")
+
+
+class ResNet(nn.Module):
+    """ResNet V1 (ref network/tcn.py:17-114): full-parameter LayerNorms,
+    bias-free first conv, cyclic dilation."""
+
+    n_outp: int = 257
+    n_blocks: int = 40
+    d_model: int = 256
+    d_f: int = 64
+    k: int = 3
+    max_d_rate: int = 16
+    outp_act: str = "Sigmoid"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from se_tpu.nn.conv import CausalConv1d
+
+        h = nn.Dense(self.d_model, use_bias=False, name="ff_conv")(x)
+        h = nn.relu(nn.LayerNorm(epsilon=1e-6, name="ff_norm")(h))
+        n_rates = int(np.log2(self.max_d_rate)) + 1
+
+        def unit(z, n_filt, k, d_rate, name):
+            z = nn.relu(nn.LayerNorm(epsilon=1e-6, name=f"{name}_norm")(z))
+            if k == 1:
+                return nn.Dense(n_filt, use_bias=False, name=f"{name}_conv")(z)
+            return CausalConv1d(n_filt, k, dilation=d_rate, use_bias=False,
+                                name=f"{name}_conv")(z)
+
+        for i in range(self.n_blocks):
+            d_rate = int(2 ** (i % n_rates))
+            y = unit(h, self.d_f, 1, 1, f"b{i}_1")
+            y = unit(y, self.d_f, self.k, d_rate, f"b{i}_2")
+            y = unit(y, self.d_model, 1, 1, f"b{i}_3")
+            h = h + y
+        out = nn.Dense(self.n_outp, name="out_conv")(h)
+        return _outp_act(out, self.outp_act)
+
+
+class ResNetV3(ResNetV2):
+    """ResNetV2 with the amended first layer (ref tcn.py:227-245):
+    conv(+bias) -> ReLU -> scale/centre-free LN."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.d_model, name="ff_conv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         name="ff_norm")(nn.relu(h))
+        n_rates = int(np.log2(self.max_d_rate)) + 1
+        for i in range(self.n_blocks):
+            d_rate = int(2 ** (i % n_rates))
+            h = self._block(h, d_rate, i)
+        out = nn.Dense(self.n_outp, name="out_conv")(h)
+        return _outp_act(out, self.outp_act)
+
+
+class MHANet(nn.Module):
+    """Causal multi-head attention network (ref network/attention.py:15-176).
+
+    V3 flavor (`learned_pos=True`) adds a learned positional embedding
+    (ref attention.py:387-433).
+    """
+
+    n_outp: int = 257
+    d_model: int = 256
+    n_blocks: int = 5
+    n_heads: int = 8
+    causal: bool = True
+    outp_act: str = "Sigmoid"
+    learned_pos: bool = False
+    max_len: int = 2048
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        h = nn.Dense(self.d_model, use_bias=False, name="ff_conv")(x)
+        h = nn.relu(nn.LayerNorm(epsilon=1e-6, name="ff_norm")(h))
+        if self.learned_pos:
+            pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                             (self.max_len, self.d_model))
+            h = h + pos[:t][None]
+
+        mask = None
+        if self.causal:
+            mask = jnp.tril(jnp.ones((t, t), bool))
+
+        d_k = self.d_model // self.n_heads
+        for i in range(self.n_blocks):
+            q = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_q")(h)
+            k = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_k")(h)
+            v = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_v")(h)
+
+            def split(z):
+                return z.reshape(b, t, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+            logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
+            logits = logits / np.sqrt(d_k)
+            if mask is not None:
+                logits = jnp.where(mask[None, None], logits, -1e9)
+            att = nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", att, split(v))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, self.d_model)
+            ctx = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_o")(ctx)
+            h = nn.LayerNorm(epsilon=1e-6, name=f"b{i}_ln1")(h + ctx)
+            ffn = nn.Dense(self.d_model * 4, name=f"b{i}_ff1")(h)
+            ffn = nn.Dense(self.d_model, name=f"b{i}_ff2")(nn.relu(ffn))
+            h = nn.LayerNorm(epsilon=1e-6, name=f"b{i}_ln2")(h + ffn)
+        out = nn.Dense(self.n_outp, name="out_conv")(h)
+        return _outp_act(out, self.outp_act)
+
+
 class ResLSTM(nn.Module):
-    """Residual LSTM stack (ref network/rnn.py:13-55)."""
+    """Residual LSTM stack (ref network/rnn.py:13-78): Dense(no-bias)+LN+ReLU
+    feedforward, per-block LSTM residuals; BiLSTM variant sums directions
+    (merge_mode='sum', ref rnn.py:80-101)."""
 
     n_outp: int = 257
     n_blocks: int = 5
@@ -263,21 +385,20 @@ class ResLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from se_tpu.nn import LSTM
+        from se_tpu.nn.recurrent import lstm_layer
 
-        h = nn.relu(nn.Dense(self.d_model, name="ff")(x))
+        h = nn.Dense(self.d_model, use_bias=False, name="ff")(x)
+        h = nn.relu(nn.LayerNorm(epsilon=1e-6, name="ff_norm")(h))
         for i in range(self.n_blocks):
-            y = LSTM(self.d_model, num_layers=1,
-                     bidirectional=self.bidirectional, name=f"lstm{i}")(h)
+            from se_tpu.nn import LSTM
+
+            y = LSTM(self.d_model, num_layers=1, name=f"lstm{i}")(h)
             if self.bidirectional:
-                y = nn.Dense(self.d_model, name=f"proj{i}")(y)
+                y = y + LSTM(self.d_model, num_layers=1, name=f"lstm{i}_rev_dir")(
+                    jnp.flip(h, axis=1))[:, ::-1]
             h = h + y
         out = nn.Dense(self.n_outp, name="out")(h)
-        if self.outp_act == "Sigmoid":
-            out = nn.sigmoid(out)
-        elif self.outp_act == "ReLU":
-            out = nn.relu(out)
-        return out
+        return _outp_act(out, self.outp_act)
 
 
 # --------------------------------------------------------------- MagXi glue
@@ -328,11 +449,19 @@ class DeepXi(nn.Module):
     @nn.compact
     def __call__(self, x_stms: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         del train
-        if self.network == "ResNetV2":
-            return ResNetV2(n_outp=self.n_feat, name="net")(x_stms)
-        if self.network == "ResLSTM":
-            return ResLSTM(n_outp=self.n_feat, name="net")(x_stms)
-        raise ValueError(f"unknown network {self.network!r}")
+        nets = {
+            "ResNet": ResNet,
+            "ResNetV2": ResNetV2,
+            "ResNetV3": ResNetV3,
+            "MHANet": MHANet,
+            "MHANetV2": MHANet,
+            "MHANetV3": functools.partial(MHANet, learned_pos=True),
+            "ResLSTM": ResLSTM,
+            "ResBiLSTM": functools.partial(ResLSTM, bidirectional=True),
+        }
+        if self.network not in nets:
+            raise ValueError(f"unknown network {self.network!r}")
+        return nets[self.network](n_outp=self.n_feat, name="net")(x_stms)
 
 
 def enhance(variables, model: DeepXi, wav: jnp.ndarray, xi_map: XiMap,

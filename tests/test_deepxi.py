@@ -106,3 +106,41 @@ def test_deepxi_end_to_end_enhance(rng):
     y = enhance(variables, model, jnp.asarray(x), xi_map, length=n)
     assert y.shape == (1, n)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_inp_tgt_family(rng):
+    from se_tpu.models.deepxi_inp_tgt import inp_tgt_selector
+
+    n = 8192
+    s = rng.standard_normal(n).astype(np.float32) * 0.1
+    d = rng.standard_normal(n).astype(np.float32) * 0.05
+    x = s + d
+    sj, xj = jnp.asarray(s[None]), jnp.asarray(x[None])
+
+    fitted = XiMap("DBNormalCDF")
+    compute_xi_stats([s], [d], fitted)
+    linear = XiMap("Linear")
+
+    cases = {
+        "MagXi": dict(xi_map=fitted),
+        "MagGamma": dict(gamma_map=linear),
+        "MagXiGamma": dict(xi_map=fitted, gamma_map=linear),
+        "MagGain": dict(gain="mmse-lsa"),
+        "MagMag": dict(mag_map=linear),
+        "MagSMM": dict(),
+        "MagPhaXiPha": dict(xi_map=fitted, s_stps_map=linear),
+        "STDCTXiCD": dict(xi_map=linear, cd_map=linear),
+    }
+    for kind, maps in cases.items():
+        it = inp_tgt_selector(kind, **maps)
+        obs, target = it.example(sj, xj)
+        assert np.all(np.isfinite(np.asarray(obs))), kind
+        assert np.all(np.isfinite(np.asarray(target))), kind
+        feats = it.observation(xj)
+        feat0 = feats[0]
+        pred = jnp.clip(target, 0.01, 0.99) if kind not in (
+            "MagMag", "MagSMM", "MagPhaXiPha", "STDCTXiCD") else target
+        aux = feats[1] if len(feats) == 2 else None
+        y = it.enhanced_speech(feat0, aux, pred, "mmse-lsa", length=n)
+        assert y.shape == (1, n), kind
+        assert np.all(np.isfinite(np.asarray(y))), kind
