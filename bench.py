@@ -49,9 +49,13 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
         variables = model.init(jax.random.PRNGKey(0), feats)
 
     compressed = True
+    import jax.numpy as jnp
+    dtype = {"bf16": jnp.bfloat16, "fp32": None}[
+        os.environ.get("SE_TPU_BENCH_DTYPE", "fp32")]
 
     def run(w):
-        return _enhance_jit(entry, model, variables, w, compressed, n)
+        return _enhance_jit(entry, model, variables, w, compressed, n,
+                            dtype=dtype)
 
     out = run(wav)
     out.block_until_ready()  # compile

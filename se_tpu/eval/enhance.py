@@ -31,14 +31,26 @@ def _magphase(re, im, eps=0.0):
     return mag, phase
 
 
-@functools.partial(jax.jit, static_argnames=("entry", "model", "compressed", "length"))
+@functools.partial(jax.jit,
+                   static_argnames=("entry", "model", "compressed", "length",
+                                    "dtype"))
 def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
-                 compressed: bool, length: int):
+                 compressed: bool, length: int, dtype=None):
+    """`dtype=jnp.bfloat16` runs the network in bf16 (params + activations;
+    norms still accumulate in fp32 internally) with fp32 DSP at the edges."""
     cfg: StftConfig = entry.stft
     kind = entry.io_kind
+    if dtype is not None:
+        variables = jax.tree.map(
+            lambda p: p.astype(dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            variables)
 
     if kind == "waveform":  # Uformer (ref Uformer/uformer_decode_vb.py:40-62)
+        if dtype is not None:
+            wav = wav.astype(dtype)
         est, _, _, _ = model.apply(variables, wav, wav)
+        est = est.astype(jnp.float32)
         pad = length - est.shape[-1]
         if pad > 0:
             est = jnp.pad(est, ((0, 0), (0, pad)))
@@ -49,10 +61,15 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
     if compressed:
         mag = jnp.sqrt(mag)
 
+    if dtype is not None:
+        mag = mag.astype(dtype)
+        phase = phase.astype(jnp.float32)
+
     if kind == "mag_mask":  # LSTM/CRN (ref LSTM/lstm_decode_vb.py:36-52)
         est = model.apply(variables, mag)
         if compressed:
             est = jnp.square(est)
+        est = est.astype(jnp.float32)
         out_re = est * jnp.cos(phase)
         out_im = est * jnp.sin(phase)
     elif kind == "complex_map":
@@ -62,6 +79,7 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
         est = model.apply(variables, spec)
         if est.ndim == 5:  # multi-stage (G2Net): take the last stage
             est = est[-1]
+        est = est.astype(jnp.float32)
         est_mag, est_phase = _magphase(est[..., 0], est[..., 1])
         if compressed:
             est_mag = jnp.square(est_mag)
@@ -70,6 +88,7 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
     elif kind == "complex_mask":  # DPCRN applies its mask internally
         spec = jnp.stack([mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
         est = model.apply(variables, spec)
+        est = est.astype(jnp.float32)
         est_mag, est_phase = _magphase(est[..., 0], est[..., 1])
         if compressed:
             est_mag = jnp.square(est_mag)
@@ -79,9 +98,9 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
         # FullSubNet (ref FullSubNet/fullsubnet_sa_decode.py:53-76):
         # compressed complex feature, magnitude into the net, mask applied
         # by complex multiply, then decompression.
-        feat_re = mag * jnp.cos(phase)
-        feat_im = mag * jnp.sin(phase)
-        mask = model.apply(variables, mag)
+        feat_re = (mag.astype(jnp.float32)) * jnp.cos(phase)
+        feat_im = (mag.astype(jnp.float32)) * jnp.sin(phase)
+        mask = model.apply(variables, mag).astype(jnp.float32)
         m_re, m_im = mask[..., 0], mask[..., 1]
         out_re = m_re * feat_re - m_im * feat_im
         out_im = m_re * feat_im + m_im * feat_re
@@ -97,7 +116,8 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
 
 
 def enhance_waveform(name: str, variables, wav: np.ndarray,
-                     compressed: bool = True, model=None, **model_kw) -> np.ndarray:
+                     compressed: bool = True, model=None, dtype=None,
+                     **model_kw) -> np.ndarray:
     """Enhance a batch (B, N) or single (N,) waveform with model `name`.
 
     Handles the RMS-gain convention per utterance (including G2Net's
@@ -117,7 +137,7 @@ def enhance_waveform(name: str, variables, wav: np.ndarray,
     x_in = x / c if inverted else x * c
 
     est = _enhance_jit(entry, model, variables, jnp.asarray(x_in),
-                       compressed, n)
+                       compressed, n, dtype=dtype)
     est = np.asarray(est)
     est = est * c if inverted else est / c
     return est[0] if single else est

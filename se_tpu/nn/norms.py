@@ -36,7 +36,6 @@ class BatchNorm(nn.Module):
             use_running_average=ura,
             momentum=1.0 - self.momentum,
             epsilon=self.eps,
-            dtype=jnp.float32,
             name="bn",
         )(x)
 

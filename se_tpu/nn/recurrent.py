@@ -29,7 +29,10 @@ def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.matmul(h, wh, preferred_element_type=jnp.float32)
+        # keep the recurrent matmul in the weight dtype (bf16 weights ->
+        # bf16 MXU) while the carry stays fp32
+        gates = xt + jnp.matmul(h.astype(wh.dtype), wh,
+                                preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)

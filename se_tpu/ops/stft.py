@@ -190,7 +190,9 @@ def frame_signal(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
 def stft(x: jnp.ndarray, cfg: StftConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(..., n) waveform -> ((..., T, F) real, (..., T, F) imag)."""
     frames = frame_signal(x, cfg)
-    basis = jnp.asarray(_forward_basis(cfg))
+    # keep the MXU in the caller's dtype (bf16 inputs -> bf16 x bf16 matmul
+    # with fp32 accumulation instead of upcasting the whole frame tensor)
+    basis = jnp.asarray(_forward_basis(cfg)).astype(x.dtype)
     out = jnp.matmul(frames, basis, preferred_element_type=jnp.float32)
     f_bins = cfg.bins
     return out[..., :f_bins], out[..., f_bins:]
@@ -228,7 +230,7 @@ def istft(
     """
     t_frames = re.shape[-2]
     x_ri = jnp.concatenate([re, im], axis=-1)
-    ibasis = jnp.asarray(_inverse_basis(cfg))
+    ibasis = jnp.asarray(_inverse_basis(cfg)).astype(re.dtype)
     frames = jnp.matmul(x_ri, ibasis, preferred_element_type=jnp.float32)
     out = overlap_add(frames, cfg.hop)
 

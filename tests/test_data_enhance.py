@@ -146,3 +146,24 @@ def test_lstm_decode_path_parity(rng):
     variables = from_reference_state_dict(state_dict_numpy(net))
     got = enhance_waveform("lstm", variables, wav, compressed=True)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_enhance_bf16_smoke(rng):
+    import jax.numpy as jnp
+
+    entry = get_model("gcrn")
+    model = entry.make()
+    n = 4000
+    wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    from se_tpu.ops.stft import stft as _stft
+
+    re, im = _stft(jnp.asarray(wav[None]), entry.stft)
+    feats = jnp.stack([re, im], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    out32 = enhance_waveform("gcrn", variables, wav, model=model)
+    out16 = enhance_waveform("gcrn", variables, wav, model=model,
+                             dtype=jnp.bfloat16)
+    assert np.all(np.isfinite(out16))
+    # bf16 tracks fp32 within bf16 resolution on the waveform
+    err = np.abs(out16 - out32).mean() / (np.abs(out32).mean() + 1e-9)
+    assert err < 0.1, err
