@@ -49,7 +49,6 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
         variables = model.init(jax.random.PRNGKey(0), feats)
 
     compressed = True
-    import jax.numpy as jnp
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[
         os.environ.get("SE_TPU_BENCH_DTYPE", "fp32")]
 
