@@ -15,9 +15,23 @@ import numpy as np
 from scipy.signal import resample_poly
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
+def read_wav(path: str, prefer_native: bool = True) -> tuple[np.ndarray, int]:
     """Returns (float32 waveform in [-1, 1], sample_rate). Multichannel
-    data comes back as (n, channels); mono as (n,)."""
+    data comes back as (n, channels); mono as (n,).
+
+    Uses the C++ decoder (se_tpu/runtime/wavio.cc) when built — it returns
+    the FIRST channel only, which is what the pipeline consumes — and falls
+    back to this pure-python parser otherwise or for multichannel reads.
+    """
+    if prefer_native:
+        try:
+            from se_tpu.runtime.native import wav_decode_native
+
+            decoded = wav_decode_native(path)
+            if decoded is not None:
+                return decoded
+        except Exception:
+            pass
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":

@@ -167,3 +167,19 @@ def test_enhance_bf16_smoke(rng):
     # bf16 tracks fp32 within bf16 resolution on the waveform
     err = np.abs(out16 - out32).mean() / (np.abs(out32).mean() + 1e-9)
     assert err < 0.1, err
+
+
+def test_native_wav_decoder_matches_python(tmp_path, rng):
+    from se_tpu.runtime.native import available, rms_gain_native, wav_decode_native
+
+    if not available():
+        pytest.skip("native runtime not built (no g++?)")
+    x = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "n.wav")
+    write_wav(p, x, 16000)
+    got, sr = wav_decode_native(p)
+    want, sr2 = read_wav(p, prefer_native=False)
+    assert sr == sr2 == 16000
+    np.testing.assert_allclose(got, want, atol=0)
+    g = rms_gain_native(want)
+    np.testing.assert_allclose(g, rms_gain(want), rtol=1e-5)
