@@ -52,20 +52,20 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[
         os.environ.get("SE_TPU_BENCH_DTYPE", "fp32")]
 
-    def run(w):
-        return _enhance_jit(entry, model, variables, w, compressed, n,
-                            dtype=dtype)
+    # Time `iters` chained runs inside ONE dispatch (lax.fori_loop): with a
+    # remote-tunneled runtime, per-call timing measures dispatch and can be
+    # short-circuited by response caching; a fused on-device loop cannot.
+    @jax.jit
+    def run_n(w):
+        def body(_, carry):
+            out = _enhance_jit(entry, model, variables, carry, compressed, n,
+                               dtype=dtype)
+            return wav + 1e-6 * out
+        return jax.lax.fori_loop(0, iters, body, w)
 
-    out = run(wav)
-    out.block_until_ready()  # compile
+    run_n(wav).block_until_ready()  # compile
     t0 = time.perf_counter()
-    w = wav
-    for _ in range(iters):
-        out = run(w)
-        # chain iterations through a data dependency so no caching layer can
-        # elide repeated executions of identical computations
-        w = wav + 1e-12 * out
-    out.block_until_ready()
+    run_n(wav).block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     audio_seconds = batch * seconds
     return audio_seconds / dt

@@ -165,3 +165,23 @@ class CumulativeLayerNorm1d(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
             y = y * gain + bias
         return y.astype(x.dtype)
+
+
+class ChannelWiseLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of (B, T, C) sequences with affine
+    params (ref FullSubNet feature.py:396-414; torch transposes to put C
+    last — our layout already has it there)."""
+
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (y * scale + bias).astype(x.dtype)

@@ -151,3 +151,17 @@ def overlap_cat(chunks, axis: int = -1):
             out[-1] = (out[-1] + first) / 2
             out.append(last)
     return jnp.concatenate(out, axis=axis)
+
+
+def compute_ipd(phase: jnp.ndarray, mic_pairs) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inter-channel phase differences for multichannel features
+    (ref FullSubNet feature.py:493-502). phase: (B, M, T, F)."""
+    left = [p[0] for p in mic_pairs]
+    right = [p[1] for p in mic_pairs]
+    diff = phase[:, left] - phase[:, right]
+    return jnp.cos(diff), jnp.sin(diff)
+
+
+def compute_lps(mag: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Log power spectrum (ref FullSubNet feature.py LPS branch)."""
+    return jnp.log(jnp.square(mag) + eps)
