@@ -1,0 +1,166 @@
+"""DeepXi train/infer/test driver (ref: DeepXi/deepxi/model.py:34-711).
+
+The reference is the zoo's only complete training loop: generator-backed
+batches of (clean, noisy) pairs -> MagXi examples -> BCE with temporal
+sample weights; inference predicts mapped xi and synthesizes with a
+statistical gain; test scores per-utterance metrics into CSVs.
+
+This driver reuses the framework pieces: DeepXi network (models/deepxi.py),
+inp_tgt family (models/deepxi_inp_tgt.py), gains (eval/gains.py), metrics
+(eval/metrics.py), wav I/O (data/wav.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from se_tpu.data.wav import read_wav, resample, write_wav
+from se_tpu.eval import metrics
+from se_tpu.models.deepxi import DeepXi, XiMap, compute_xi_stats
+from se_tpu.models.deepxi_inp_tgt import MagXi, n_frames
+from se_tpu.ops.stft import PRESET_DEEPXI
+
+
+class DeepXiDriver:
+    """Minimal-state driver; `ver` names the stats artifact like the
+    reference's data/<ver>_inp_tgt.p (ref model.py:84-96)."""
+
+    def __init__(self, network: str = "ResNetV2", map_type: str = "DBNormalCDF",
+                 gain: str = "mmse-lsa", data_path: str = "./data",
+                 ver: str = "resnet-1.1c"):
+        self.model = DeepXi(network=network)
+        self.gain = gain
+        self.data_path = data_path
+        self.ver = ver
+        self.xi_map = XiMap(map_type)
+        self.inp_tgt = MagXi(self.xi_map)
+        self.variables = None
+
+    # ----------------------------------------------------------- statistics
+    def stats_path(self) -> str:
+        return os.path.join(self.data_path, f"{self.ver}_inp_tgt.p")
+
+    def sample_stats(self, clean_wavs, noise_wavs, save: bool = True):
+        """Fit per-bin xi statistics from a training sample
+        (ref model.py:462-520 sample())."""
+        compute_xi_stats(clean_wavs, noise_wavs, self.xi_map)
+        if save:
+            os.makedirs(self.data_path, exist_ok=True)
+            with open(self.stats_path(), "wb") as f:
+                pickle.dump({"mu": self.xi_map.mu, "sigma": self.xi_map.sigma}, f)
+
+    def load_stats(self) -> bool:
+        if not os.path.isfile(self.stats_path()):
+            return False
+        with open(self.stats_path(), "rb") as f:
+            d = pickle.load(f)
+        self.xi_map.mu, self.xi_map.sigma = d["mu"], d["sigma"]
+        return True
+
+    # ------------------------------------------------------------- training
+    def train(self, pairs, epochs: int = 1, lr: float = 1e-3,
+              clip_value: float = 1.0, log_every: int = 10):
+        """`pairs` yields (clean, noisy) float waveform batches (B, N) with
+        equal padded length; loss is BCE with temporal sample weights
+        masking padded frames (ref model.py:203-230)."""
+        tx = optax.chain(optax.clip(clip_value), optax.adam(lr))
+        opt_state = None
+        history = []
+
+        @jax.jit
+        def step(variables, opt_state, s, x, frames):
+            def loss_fn(params):
+                obs, target = self.inp_tgt.example(s, x)
+                pred = self.model.apply({"params": params}, obs)
+                eps = 1e-7
+                p = jnp.clip(pred, eps, 1 - eps)
+                bce = -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p))
+                t = obs.shape[1]
+                mask = (jnp.arange(t)[None, :] < frames[:, None]).astype(
+                    jnp.float32)[..., None]
+                return jnp.sum(bce * mask) / jnp.maximum(
+                    jnp.sum(mask) * obs.shape[-1], 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+            updates, opt_state = tx.update(grads, opt_state,
+                                           variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            return {"params": params}, opt_state, loss
+
+        i = 0
+        for _ in range(epochs):
+            for clean, noisy in pairs:
+                s = jnp.asarray(clean)
+                x = jnp.asarray(noisy)
+                frames = jnp.asarray(
+                    [n_frames(len(c)) for c in clean], jnp.int32)
+                if self.variables is None:
+                    obs, _ = self.inp_tgt.example(s[:1], x[:1])
+                    self.variables = self.model.init(jax.random.PRNGKey(0), obs)
+                    opt_state = tx.init(self.variables["params"])
+                self.variables, opt_state, loss = step(
+                    self.variables, opt_state, s, x, frames)
+                if i % log_every == 0:
+                    history.append((i, float(loss)))
+                i += 1
+        return history
+
+    # ------------------------------------------------------------ inference
+    def infer_dir(self, mix_dir: str, out_dir: str, fs: int = 16000):
+        """Enhance every wav in mix_dir (ref model.py:232-340 infer())."""
+        from se_tpu.models.deepxi import enhance
+
+        os.makedirs(out_dir, exist_ok=True)
+        for fid in sorted(os.listdir(mix_dir)):
+            if not fid.endswith(".wav"):
+                continue
+            wav, sr = read_wav(os.path.join(mix_dir, fid))
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            wav = resample(wav, sr, fs)
+            y = enhance(self.variables, self.model, jnp.asarray(wav[None]),
+                        self.xi_map, gain=self.gain, length=len(wav))
+            write_wav(os.path.join(out_dir, fid), np.asarray(y)[0], fs)
+
+    # ----------------------------------------------------------------- test
+    def test_dir(self, est_dir: str, ref_dir: str, csv_dir: str,
+                 fs: int = 16000) -> dict:
+        """Score estimates and write per-utterance + average CSVs
+        (ref model.py:342-460 test())."""
+        rows = []
+        for fid in sorted(os.listdir(est_dir)):
+            if not fid.endswith(".wav"):
+                continue
+            est, sr_e = read_wav(os.path.join(est_dir, fid))
+            ref, sr_r = read_wav(os.path.join(ref_dir, fid))
+            est = resample(est, sr_e, fs).astype(np.float64)
+            ref = resample(ref, sr_r, fs).astype(np.float64)
+            n = min(len(est), len(ref))
+            rows.append({
+                "utt": fid,
+                "stoi": metrics.stoi(est[:n], ref[:n], fs),
+                "estoi": metrics.estoi(est[:n], ref[:n], fs),
+                "si_sdr": metrics.si_sdr(est[:n], ref[:n]),
+                "seg_snr": metrics.seg_snr(est[:n], ref[:n]),
+            })
+        os.makedirs(csv_dir, exist_ok=True)
+        with open(os.path.join(csv_dir, f"{self.ver}.csv"), "w",
+                  newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        avg = {k: float(np.mean([r[k] for r in rows]))
+               for k in rows[0] if k != "utt"}
+        with open(os.path.join(csv_dir, "average.csv"), "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["ver"] + list(avg.keys()))
+            if f.tell() == 0:
+                w.writeheader()
+            w.writerow({"ver": self.ver, **avg})
+        return avg

@@ -2,6 +2,7 @@
 shape/param-count (published 1.95 M, BASELINE.md Table D)."""
 
 import numpy as np
+import os
 import jax
 import jax.numpy as jnp
 import pytest
@@ -144,3 +145,32 @@ def test_inp_tgt_family(rng):
         y = it.enhanced_speech(feat0, aux, pred, "mmse-lsa", length=n)
         assert y.shape == (1, n), kind
         assert np.all(np.isfinite(np.asarray(y))), kind
+
+
+def test_deepxi_driver_end_to_end(tmp_path, rng):
+    from se_tpu.data.wav import write_wav
+    from se_tpu.models.deepxi_driver import DeepXiDriver
+
+    n = 8192
+    clean = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    noise = (rng.standard_normal((2, n)) * 0.05).astype(np.float32)
+    noisy = clean + noise
+
+    drv = DeepXiDriver(data_path=str(tmp_path / "data"), ver="test")
+    drv.sample_stats(list(clean), list(noise))
+    assert drv.load_stats()
+    hist = drv.train([(clean, noisy)], epochs=2, log_every=1)
+    assert len(hist) >= 2 and np.isfinite(hist[-1][1])
+
+    mix_dir = tmp_path / "mix"
+    out_dir = tmp_path / "out"
+    ref_dir = tmp_path / "ref"
+    for d in (mix_dir, ref_dir):
+        d.mkdir()
+    for i in range(2):
+        write_wav(str(mix_dir / f"u{i}.wav"), noisy[i], 16000)
+        write_wav(str(ref_dir / f"u{i}.wav"), clean[i], 16000)
+    drv.infer_dir(str(mix_dir), str(out_dir))
+    assert sorted(os.listdir(out_dir)) == ["u0.wav", "u1.wav"]
+    avg = drv.test_dir(str(out_dir), str(ref_dir), str(tmp_path / "csv"))
+    assert np.isfinite(avg["si_sdr"])
