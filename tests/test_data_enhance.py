@@ -183,3 +183,17 @@ def test_native_wav_decoder_matches_python(tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=0)
     g = rms_gain_native(want)
     np.testing.assert_allclose(g, rms_gain(want), rtol=1e-5)
+
+
+def test_composite_measures(rng):
+    from se_tpu.eval.composite import composite, llr_wss_segsnr
+
+    fs = 16000
+    clean = (rng.standard_normal(16000) * 0.1).astype(np.float64)
+    noisy = clean + (rng.standard_normal(16000) * 0.02)
+    llr_c, wss_c, seg_c = llr_wss_segsnr(clean, clean, fs)
+    llr_n, wss_n, seg_n = llr_wss_segsnr(noisy, clean, fs)
+    assert llr_c < 0.05 and wss_c < 1.0 and seg_c == 35.0
+    assert wss_n > wss_c and seg_n < seg_c
+    csig, cbak, covl = composite(clean, noisy, fs, pesq_mos=3.0)
+    assert all(1.0 <= v <= 5.0 for v in (csig, cbak, covl))
