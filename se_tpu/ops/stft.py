@@ -44,6 +44,10 @@ class StftConfig:
     window: str = "hann"
     convention: Convention = "center"
     periodic: bool = True
+    # "ola" = divide by the actual overlap-added window-square envelope
+    # (librosa/torch); "periodized" = fold Griffin-Lim eq.-8's periodized
+    # inverse window into the basis (DCCRN/istft.py:32-39, tf.signal).
+    synthesis_norm: str = "ola"
 
     @property
     def fft(self) -> int:
@@ -132,7 +136,7 @@ def _inverse_basis(cfg: StftConfig) -> np.ndarray:
     basis = np.concatenate([re_rows, im_rows], axis=0)
 
     w = _padded_window(cfg)[:frame_len]
-    if cfg.convention == "pad_end":
+    if cfg.convention == "pad_end" or cfg.synthesis_norm == "periodized":
         # tf.signal.inverse_stft_window_fn: w / periodized OLA of w^2
         # (ref: DeepXi/deepxi/sig.py:60-69).
         env = np.zeros(frame_len)
@@ -234,7 +238,7 @@ def istft(
     frames = jnp.matmul(x_ri, ibasis, preferred_element_type=jnp.float32)
     out = overlap_add(frames, cfg.hop)
 
-    if cfg.convention in ("center", "valid"):
+    if cfg.convention in ("center", "valid") and cfg.synthesis_norm == "ola":
         w = jnp.asarray(_padded_window(cfg)[: cfg.frame_len].astype(np.float32))
         wsq = jnp.broadcast_to(w * w, (t_frames, cfg.frame_len))
         env = overlap_add(wsq, cfg.hop)

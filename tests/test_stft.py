@@ -123,3 +123,25 @@ def test_nonmultiple_hop_framing(rng):
     re, im = stft(x, cfg)
     y = istft(re, im, cfg, length=n)
     np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)
+
+
+def test_periodized_synthesis_matches_dccrn_pinv_istft(rng):
+    """Our `synthesis_norm='periodized'` == the reference's pinv-based ISTFT
+    (DCCRN/istft.py:8-59, Griffin-Lim eq. 8 window normalization)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.reference_oracle import load_reference_module
+
+    ref = load_reference_module("DCCRN/istft.py")
+    mod = ref.ISTFT(filter_length=512, hop_length=128, window="hann",
+                    center=True)
+    n = 8000
+    x = rng.standard_normal((1, n)).astype(np.float32)
+    cfg = StftConfig(512, 128, 512, synthesis_norm="periodized")
+    re, im = stft(x, cfg)
+    y = istft(re, im, cfg, length=n)
+    spec = torch.stack(
+        [torch.from_numpy(np.asarray(re)), torch.from_numpy(np.asarray(im))],
+        dim=1)  # (B, 2, T, F)
+    want = mod(spec, length=n).squeeze(1).numpy()
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-4)
