@@ -198,6 +198,9 @@ def stft(x: jnp.ndarray, cfg: StftConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     # with fp32 accumulation instead of upcasting the whole frame tensor)
     basis = jnp.asarray(_forward_basis(cfg)).astype(x.dtype)
     out = jnp.matmul(frames, basis, preferred_element_type=jnp.float32)
+    # output dtype follows the caller: a bf16 waveform keeps the whole
+    # in-graph pipeline (e.g. Uformer) in bf16; fp32 paths are unchanged
+    out = out.astype(x.dtype)
     f_bins = cfg.bins
     return out[..., :f_bins], out[..., f_bins:]
 

@@ -93,12 +93,17 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         variables = {"params": params, **extra_vars}
         mutable = [k for k in extra_vars if k == "batch_stats"] if train else []
 
+        def apply(*args, **kw):
+            # flax returns (out, vars) whenever `mutable` is passed — even an
+            # empty list — so only pass it when there is something to mutate
+            if mutable:
+                return model.apply(variables, *args, train=train, rngs=rngs,
+                                   mutable=mutable, **kw)
+            return model.apply(variables, *args, train=train, rngs=rngs,
+                               **kw), {}
+
         if entry.io_kind == "waveform":
-            outs = model.apply(variables, mix, clean, train=train,
-                               rngs=rngs, mutable=mutable)
-            (est, src, est_cplx, src_cplx), new_vars = (
-                outs if mutable else (outs, {})
-            )
+            (est, src, est_cplx, src_cplx), new_vars = apply(mix, clean)
             loss = (
                 L.uformer_sisnr_loss(est, src)
                 + L.uformer_cplx_mse_loss(
@@ -111,16 +116,23 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         mag, lmag, spec, lspec = _prep(entry, mix, clean, cfg.compressed)
 
         if entry.io_kind in ("mag_mask",):
-            outs = model.apply(variables, mag, train=train,
-                               rngs=rngs, mutable=mutable)
-            est, new_vars = outs if mutable else (outs, {})
+            est, new_vars = apply(mag)
             loss = L.mag_mse_loss(est, lmag, frames)
             return loss, new_vars
 
         if entry.io_kind == "cirm":
-            outs = model.apply(variables, mag, train=train,
-                               rngs=rngs, mutable=mutable)
-            mask, new_vars = outs if mutable else (outs, {})
+            mask, new_vars = apply(mag)
+            if train and mask.shape[2] != spec.shape[2]:
+                # FullSubNet's training-only drop_band shrank F and regrouped
+                # the batch; apply the identical transform to features/labels
+                # (ref fullsubnet_net_sa/model.py:101-104)
+                from se_tpu.models.fullsubnet import drop_band
+
+                groups = getattr(model, "num_groups_in_drop_band", 2)
+                spec = drop_band(spec, groups)
+                lspec = drop_band(lspec, groups)
+                frames = jnp.concatenate(
+                    [frames[g::groups] for g in range(groups)], axis=0)
             m_re, m_im = mask[..., 0], mask[..., 1]
             est = jnp.stack(
                 [m_re * spec[..., 0] - m_im * spec[..., 1],
@@ -129,9 +141,7 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             return loss, new_vars
 
         # complex_map / complex_mask
-        outs = model.apply(variables, spec, train=train,
-                           rngs=rngs, mutable=mutable)
-        est, new_vars = outs if mutable else (outs, {})
+        est, new_vars = apply(spec)
         if loss_name == "stagewise_com_mag_mse":
             loss = L.stagewise_com_mag_mse_loss(list(est), lspec, frames)
         else:

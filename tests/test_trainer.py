@@ -76,3 +76,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     w0 = state["params"]["fc"]["kernel"]
     w1 = restored["params"]["fc"]["kernel"]
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
+
+
+@pytest.mark.parametrize("name", ["gcrn", "fullsubnet", "uformer"])
+def test_train_step_smoke_bn_dropout_paths(rng, name):
+    """Train-mode paths: BN batch-stats updates (gcrn), drop_band with B>1
+    (fullsubnet), dropout rngs + in-graph STFT (uformer)."""
+    cfg = TrainConfig(model=name, learning_rate=1e-4)
+    model, init_fn, step_fn, eval_fn = make_train_step(cfg)
+    batch = _toy_batch(rng, b=4, n=4000)
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    state, loss = step_fn(state, batch)
+    assert np.isfinite(float(loss))
+    if name == "gcrn":  # running stats actually updated
+        bs0 = init_fn(jax.random.PRNGKey(0), batch)["extra_vars"]["batch_stats"]
+        bs1 = state["extra_vars"]["batch_stats"]
+        d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                         bs0, bs1)
+        assert max(jax.tree.leaves(d)) > 0
+    assert np.isfinite(float(eval_fn(state, batch)))
