@@ -259,6 +259,17 @@ def train_epochs(cfg: TrainConfig, train_ds, cv_ds=None, epochs: int = 1,
             if checkpoint_dir:
                 save_checkpoint(checkpoint_dir, state, epoch,
                                 int(state["step"]))
+    if checkpoint_dir and history:
+        # training-loss curve to disk (the reference's loss_dir .mat role,
+        # ref LSTM/config.py:10)
+        import csv as _csv
+        import os as _os
+
+        with open(_os.path.join(checkpoint_dir, "loss_curve.csv"), "w",
+                  newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["step", "train_loss"])
+            w.writerows(history)
     return model, state, history
 
 
