@@ -85,3 +85,38 @@ def shard_activation(x, *spec):
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*cleaned))
     )
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up: jax.distributed over DCN (SURVEY.md §2.5
+    consequence (1)). No-op when already initialized or single-process
+    with no coordinator configured."""
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def host_local_batch_to_global(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble per-host shards into a global array (multi-host input
+    pipelines feed host-local data; ref SURVEY.md §5 'Distributed
+    communication backend')."""
+    import jax
+
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree.map(put, batch)
