@@ -46,6 +46,36 @@ def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
     return ys
 
 
+def _lstm_recurrence_fused(xs: jnp.ndarray, wx, wh, b, unroll: int = 2):
+    """Project inputs inside the scan step: one fused
+    [x_t | h] @ [wx; wh] matmul per step. Used when precomputing all input
+    projections would blow memory (e.g. FullSubNet's folded sub-band LSTM:
+    (B*257, T, 32) -> a (B*257, T, 4H) fp32 precompute is ~12 GB at B=32)."""
+    t_len, bsz, _ = xs.shape
+    h_dim = wh.shape[0]
+    w = jnp.concatenate([wx, wh], axis=0)  # (in + H, 4H)
+    h0 = jnp.zeros((bsz, h_dim), jnp.float32)
+    c0 = jnp.zeros((bsz, h_dim), jnp.float32)
+
+    def step(carry, xt):
+        h, c = carry
+        inp = jnp.concatenate([xt, h.astype(xt.dtype)], axis=-1)
+        gates = jnp.matmul(inp, w.astype(xt.dtype),
+                           preferred_element_type=jnp.float32) + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (_, _), ys = jax.lax.scan(step, (h0, c0), xs, unroll=unroll)
+    return ys
+
+
+# Above this many bytes for the precomputed (B, T, 4H) projection, switch to
+# the fused in-scan projection.
+_PRECOMPUTE_LIMIT_BYTES = 1 << 30
+
+
 def lstm_layer(
     x: jnp.ndarray,
     wx: jnp.ndarray,
@@ -55,11 +85,22 @@ def lstm_layer(
     unroll: int = 2,
 ) -> jnp.ndarray:
     """(B, T, in) -> (B, T, H) single-direction LSTM layer."""
-    xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
-    xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
-    if reverse:
-        xp = jnp.flip(xp, axis=0)
-    ys = _lstm_recurrence(xp, wh, unroll=unroll)
+    bsz, t_len, in_dim = x.shape
+    four_h = wx.shape[1]
+    proj_bytes = bsz * t_len * four_h * 4
+    fused = in_dim < four_h // 4 and proj_bytes > _PRECOMPUTE_LIMIT_BYTES
+
+    if fused:
+        xs = jnp.swapaxes(x, 0, 1)
+        if reverse:
+            xs = jnp.flip(xs, axis=0)
+        ys = _lstm_recurrence_fused(xs, wx, wh, b, unroll=unroll)
+    else:
+        xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
+        xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
+        if reverse:
+            xp = jnp.flip(xp, axis=0)
+        ys = _lstm_recurrence(xp, wh, unroll=unroll)
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)
