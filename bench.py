@@ -73,8 +73,10 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
 
 def main():
     name = os.environ.get("SE_TPU_BENCH_MODEL", "uformer")
-    batch = int(os.environ.get("SE_TPU_BENCH_BATCH", "8"))
-    seconds = float(os.environ.get("SE_TPU_BENCH_SECONDS", "8"))
+    # serving-style batch: the zoo models are far from compute-bound at
+    # small batch (PERF.md), so the headline uses a batched configuration
+    batch = int(os.environ.get("SE_TPU_BENCH_BATCH", "32"))
+    seconds = float(os.environ.get("SE_TPU_BENCH_SECONDS", "4"))
 
     if os.environ.get("SE_TPU_BENCH_ALL"):
         from se_tpu.models import available_models
