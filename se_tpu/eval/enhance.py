@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from se_tpu.models.registry import ModelEntry, get_model
-from se_tpu.ops.stft import StftConfig, istft, num_frames, stft
+from se_tpu.ops.stft import StftConfig, istft, stft
 
 
 def _magphase(re, im, eps=0.0):

@@ -385,8 +385,6 @@ class ResLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from se_tpu.nn.recurrent import lstm_layer
-
         h = nn.Dense(self.d_model, use_bias=False, name="ff")(x)
         h = nn.relu(nn.LayerNorm(epsilon=1e-6, name="ff_norm")(h))
         for i in range(self.n_blocks):

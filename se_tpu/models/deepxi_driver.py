@@ -25,7 +25,6 @@ from se_tpu.data.wav import read_wav, resample, write_wav
 from se_tpu.eval import metrics
 from se_tpu.models.deepxi import DeepXi, XiMap, compute_xi_stats
 from se_tpu.models.deepxi_inp_tgt import MagXi, n_frames
-from se_tpu.ops.stft import PRESET_DEEPXI
 
 
 class DeepXiDriver:

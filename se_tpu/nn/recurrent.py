@@ -46,29 +46,40 @@ def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
     return ys
 
 
-def _lstm_recurrence_fused(xs: jnp.ndarray, wx, wh, b, unroll: int = 2):
-    """Project inputs inside the scan step: one fused
-    [x_t | h] @ [wx; wh] matmul per step. Used when precomputing all input
-    projections would blow memory (e.g. FullSubNet's folded sub-band LSTM:
-    (B*257, T, 32) -> a (B*257, T, 4H) fp32 precompute is ~12 GB at B=32)."""
-    t_len, bsz, _ = xs.shape
+def _lstm_recurrence_chunked(xs: jnp.ndarray, wx, wh, b, chunk: int = 32,
+                             unroll: int = 2):
+    """Time-chunked recurrence: precompute input projections one chunk at a
+    time inside an outer scan, bounding the projection buffer to
+    (chunk, B, 4H). Used when a full (T, B, 4H) precompute would blow HBM
+    (FullSubNet's folded sub-band LSTM is ~12 GB at batch 32). A naive
+    per-step projection doesn't work: XLA loop-invariant code motion hoists
+    `xs[t] @ wx` back out of the loop and rematerializes the full tensor."""
+    t_len, bsz, in_dim = xs.shape
     h_dim = wh.shape[0]
-    w = jnp.concatenate([wx, wh], axis=0)  # (in + H, 4H)
+    t_pad = -(-t_len // chunk) * chunk
+    if t_pad != t_len:
+        xs = jnp.pad(xs, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    xc = xs.reshape(t_pad // chunk, chunk, bsz, in_dim)
     h0 = jnp.zeros((bsz, h_dim), jnp.float32)
     c0 = jnp.zeros((bsz, h_dim), jnp.float32)
 
     def step(carry, xt):
         h, c = carry
-        inp = jnp.concatenate([xt, h.astype(xt.dtype)], axis=-1)
-        gates = jnp.matmul(inp, w.astype(xt.dtype),
-                           preferred_element_type=jnp.float32) + b
+        gates = xt + jnp.matmul(h.astype(wh.dtype), wh,
+                                preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    (_, _), ys = jax.lax.scan(step, (h0, c0), xs, unroll=unroll)
-    return ys
+    def outer(carry, xchunk):
+        proj = jnp.matmul(xchunk, wx,
+                          preferred_element_type=jnp.float32) + b
+        return jax.lax.scan(step, carry, proj, unroll=unroll)
+
+    (_, _), ys = jax.lax.scan(outer, (h0, c0), xc)
+    ys = ys.reshape(t_pad, bsz, h_dim)
+    return ys[:t_len]
 
 
 # Above this many bytes for the precomputed (B, T, 4H) projection, switch to
@@ -94,7 +105,7 @@ def lstm_layer(
         xs = jnp.swapaxes(x, 0, 1)
         if reverse:
             xs = jnp.flip(xs, axis=0)
-        ys = _lstm_recurrence_fused(xs, wx, wh, b, unroll=unroll)
+        ys = _lstm_recurrence_chunked(xs, wx, wh, b, unroll=unroll)
     else:
         xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
         xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan

@@ -19,8 +19,6 @@ se_tpu.parallel.activation_mesh.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
