@@ -73,6 +73,10 @@ def _lstm_recurrence_chunked(xs: jnp.ndarray, wx, wh, b, chunk: int = 32,
         return (h, c), h
 
     def outer(carry, xchunk):
+        # the barrier stops XLA loop-invariant code motion from batching
+        # this matmul across all chunks (which would rebuild the full
+        # (T, B, 4H) tensor this path exists to avoid)
+        xchunk = jax.lax.optimization_barrier(xchunk)
         proj = jnp.matmul(xchunk, wx,
                           preferred_element_type=jnp.float32) + b
         return jax.lax.scan(step, carry, proj, unroll=unroll)
@@ -99,7 +103,7 @@ def lstm_layer(
     bsz, t_len, in_dim = x.shape
     four_h = wx.shape[1]
     proj_bytes = bsz * t_len * four_h * 4
-    fused = in_dim < four_h // 4 and proj_bytes > _PRECOMPUTE_LIMIT_BYTES
+    fused = proj_bytes > _PRECOMPUTE_LIMIT_BYTES
 
     if fused:
         xs = jnp.swapaxes(x, 0, 1)
