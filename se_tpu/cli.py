@@ -124,8 +124,12 @@ def cmd_score(args):
         ref = resample(ref, sr_r, args.fs)
         n = min(len(est), len(ref))
         est, ref = est[:n].astype(np.float64), ref[:n].astype(np.float64)
+        from se_tpu.eval.pesq import pesq as _pesq
+
         rows.append({
             "utt": fid,
+            "pesq_mos_lqo": _pesq(ref, est, args.fs) if args.fs in (8000, 16000)
+            else float("nan"),
             "si_sdr": metrics.si_sdr(est, ref),
             "snr": metrics.snr(est, ref),
             "seg_snr": metrics.seg_snr(est, ref),

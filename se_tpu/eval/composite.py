@@ -181,15 +181,16 @@ def composite(clean, processed, fs: int = 16000, pesq_mos: float | None = None):
     """Returns (CSIG, CBAK, COVL). If `pesq_mos` is None, tries the `pesq`
     package; raises if no PESQ source is available."""
     if pesq_mos is None:
-        try:
+        try:  # prefer the reference binary's python wrapper when present
             from pesq import pesq as _pesq
 
             pesq_mos = _pesq(fs, np.asarray(clean), np.asarray(processed),
                              "wb" if fs >= 16000 else "nb")
-        except ImportError as e:
-            raise RuntimeError(
-                "composite() needs a PESQ value: install the `pesq` package "
-                "or pass pesq_mos explicitly") from e
+        except ImportError:
+            from se_tpu.eval.pesq import pesq as _our_pesq
+
+            out = _our_pesq(np.asarray(clean), np.asarray(processed), fs)
+            pesq_mos = out if fs >= 16000 else out[1]
     llr_mean, wss_mean, seg = llr_wss_segsnr(clean, processed, fs)
     csig = np.clip(3.093 - 1.029 * llr_mean + 0.603 * pesq_mos
                    - 0.009 * wss_mean, 1, 5)
