@@ -50,11 +50,11 @@ def test_constant_delay_realigned(clean, rng):
     # is pitch-period-ambiguous on perfectly periodic tones (as is the
     # reference algorithm)
     ref = clean + 0.01 * _shaped_noise(clean, rng)
-    delayed = np.concatenate([np.zeros(800), ref])[: len(ref)]
-    # without realignment an 800-sample shift scores ~1.0; >4 proves the
-    # utterance aligner locked on (residual pitch-period aliases can shave
-    # a few tenths on quasi-periodic material)
-    assert pesq(ref, delayed, FS) > 4.0
+    # delay WITHOUT truncation (truncating deletes real tail content, which
+    # is genuine disturbance); degraded may be longer than the reference
+    delayed = np.concatenate([np.zeros(800), ref])
+    # without realignment an 800-sample shift scores ~1.0
+    assert pesq(ref, delayed, FS) > 4.3
 
 
 def test_narrowband_mode(clean):
