@@ -175,9 +175,27 @@ class SingleAtt(nn.Module):
         return jnp.einsum("nlm,nmc->nlc", nn.softmax(energy, axis=-1), v)
 
 
+class SingleAttProj(nn.Module):
+    """The q/k/v projections of one SingleAtt, without the attention core.
+    Same param tree as SingleAtt so reference weight conversion is shared."""
+
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        return (nn.Dense(self.hidden, name="query")(q),
+                nn.Dense(self.hidden, name="key")(k),
+                nn.Dense(self.hidden, name="value")(v))
+
+
 class ComplexSelfAtt(nn.Module):
     """8 real attentions combined as (A-B-C-D, E+F+G-H)
-    (ref t_att_cplx.py:40-70)."""
+    (ref t_att_cplx.py:40-70).
+
+    TPU: the 8 attentions run as ONE batched 8-head attention — per-head q/k/v
+    projections (tiny C->16 matmuls, param tree identical to 8 SingleAtts) are
+    stacked onto a head axis so the L x M energy/softmax/apply, the hot part,
+    is a single fused dispatch instead of 8 small ones."""
 
     hidden: int = 16
 
@@ -185,15 +203,22 @@ class ComplexSelfAtt(nn.Module):
     def __call__(self, re, im):
         ln1 = LayerNorm(name="ln1")
         r, i = ln1(re), ln1(im)
-        att = [SingleAtt(self.hidden, name=f"att{k + 1}") for k in range(8)]
-        a = att[0](r, r, r)
-        b = att[1](r, i, i)
-        c = att[2](i, r, i)
-        d = att[3](i, i, r)
-        e = att[4](r, r, i)
-        f = att[5](r, i, r)
-        g = att[6](i, r, r)
-        h = att[7](i, i, i)
+        # (q, k, v) input selection per head, ref t_att_cplx.py:54-61
+        inputs = ((r, r, r), (r, i, i), (i, r, i), (i, i, r),
+                  (r, r, i), (r, i, r), (i, r, r), (i, i, i))
+        qs, ks, vs = [], [], []
+        for idx, (q_in, k_in, v_in) in enumerate(inputs):
+            q, k, v = SingleAttProj(self.hidden, name=f"att{idx + 1}")(
+                q_in, k_in, v_in)
+            qs.append(q)
+            ks.append(k)
+            vs.append(v)
+        q = jnp.stack(qs, axis=1)  # (N, 8, L, D)
+        k = jnp.stack(ks, axis=1)
+        v = jnp.stack(vs, axis=1)
+        energy = jnp.einsum("nhld,nhmd->nhlm", q, k) / np.sqrt(self.hidden)
+        out = jnp.einsum("nhlm,nhmd->nhld", nn.softmax(energy, axis=-1), v)
+        a, b, c, d, e, f, g, h = (out[:, j] for j in range(8))
         out_r, out_i = a - b - c - d, e + f + g - h
         ln2 = LayerNorm(name="ln2")
         return ln2(out_r), ln2(out_i)
