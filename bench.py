@@ -71,6 +71,45 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
     return audio_seconds / dt
 
 
+def _bench_train(name: str, batch: int, seconds: float, iters: int = 8,
+                 remat: str = "none"):
+    """Training-step throughput (audio-seconds of training data per second)."""
+    from se_tpu.train.trainer import TrainConfig, make_train_step
+
+    cfg = TrainConfig(model=name, remat=remat)
+    model, init_fn, step_fn, _ = make_train_step(cfg)
+    n = int(seconds * SR)
+    rng = np.random.default_rng(0)
+    from se_tpu.ops.stft import num_frames
+
+    entry_frames = None
+    try:
+        from se_tpu.models import get_model
+
+        entry_frames = num_frames(n, get_model(name).stft)
+    except Exception:  # noqa: BLE001
+        pass
+    jb = {
+        "mix": jnp.asarray(rng.standard_normal((batch, n)), jnp.float32) * 0.1,
+        "clean": jnp.asarray(rng.standard_normal((batch, n)), jnp.float32) * 0.1,
+        "frames": jnp.full((batch,), entry_frames or n // 160, jnp.int32),
+    }
+    state = init_fn(jax.random.PRNGKey(0), jb)
+
+    @jax.jit
+    def run_n(st):
+        def body(_, s):
+            s2, _loss = step_fn(s, jb)
+            return s2
+        return jax.lax.fori_loop(0, iters, body, st)
+
+    jax.block_until_ready(run_n(state))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_n(state))
+    dt = (time.perf_counter() - t0) / iters
+    return batch * seconds / dt
+
+
 def main():
     name = os.environ.get("SE_TPU_BENCH_MODEL", "uformer")
     # serving-style batch: the zoo models are far from compute-bound at
@@ -89,6 +128,18 @@ def main():
                 print(f"{m}: {thr:.1f} audio-s/s/chip", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"{m}: FAILED {e}", file=sys.stderr)
+
+    if os.environ.get("SE_TPU_BENCH_MODE", "enhance") == "train":
+        throughput = _bench_train(
+            name, batch, seconds,
+            remat=os.environ.get("SE_TPU_BENCH_REMAT", "none"))
+        print(json.dumps({
+            "metric": f"{name}_train_throughput",
+            "value": round(throughput, 2),
+            "unit": "audio-seconds/s/chip",
+            "vs_baseline": round(throughput, 2),
+        }))
+        return
 
     throughput = _bench_model(name, batch, seconds)
     print(json.dumps({

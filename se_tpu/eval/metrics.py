@@ -54,6 +54,15 @@ def seg_snr(est: np.ndarray, ref: np.ndarray, frame: int = 256,
     return float(np.mean(vals)) if vals else 0.0
 
 
+def spectral_distortion(ref: np.ndarray, est: np.ndarray) -> np.ndarray:
+    """Spectral Distortion (SD) in dB per frame over a-priori/posteriori SNR
+    estimates of shape (frames, bins) (ref DeepXi/deepxi/spectral_distortion.m:8-23:
+    floor at 1e-12, dB, RMS over the bin axis)."""
+    ref = 10.0 * np.log10(np.maximum(ref, 1e-12))
+    est = 10.0 * np.log10(np.maximum(est, 1e-12))
+    return np.sqrt(np.mean((ref - est) ** 2, axis=-1))
+
+
 def lsd(est: np.ndarray, ref: np.ndarray, n_fft: int = 512, hop: int = 256) -> float:
     """Log-spectral distance, dB."""
     def spec(x):

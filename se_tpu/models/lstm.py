@@ -22,12 +22,27 @@ class LSTMNet(nn.Module):
     hidden: int = 1024
 
     @nn.compact
-    def __call__(self, mag: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, mag: jnp.ndarray, train: bool = False, carry=None):
+        """carry: optional list of 3 per-layer (h, c) LSTM states for exact
+        streaming decode (se_tpu.eval.streaming); when given, returns
+        (out, new_carry)."""
         x = BatchNorm(name="bn")(mag, use_running_average=not train)
-        x = LSTM(self.hidden, num_layers=1, name="lstm1")(x)
-        x = LSTM(self.hidden, num_layers=2, name="lstm2")(x)
+        lstm1 = LSTM(self.hidden, num_layers=1, name="lstm1")
+        lstm2 = LSTM(self.hidden, num_layers=2, name="lstm2")
+        if carry is None:
+            x = lstm2(lstm1(x))
+            new_carry = None
+        else:
+            x, c1 = lstm1(x, carry=carry[:1])
+            x, c2 = lstm2(x, carry=carry[1:])
+            new_carry = c1 + c2
         x = nn.Dense(self.bins, name="fc")(x)
-        return nn.softplus(x)
+        out = nn.softplus(x)
+        return out if carry is None else (out, new_carry)
+
+    @staticmethod
+    def zero_carry(batch: int, hidden: int = 1024):
+        return LSTM.zero_carry(batch, hidden, 3)
 
 
 def from_reference_state_dict(sd: dict) -> dict:

@@ -42,7 +42,11 @@ DILATIONS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 class CConvEnc(nn.Module):
     """Uformer complex conv: FULL-channel shared real/imag convs
-    (ref conv2d_cplx.py:11-38). kernel (kt=2, kf=5), causal T, sym F."""
+    (ref conv2d_cplx.py:11-38). kernel (kt=2, kf=5), causal T, sym F.
+
+    TPU: (re, im) are stacked on the batch axis so each weight runs ONE conv
+    over 2B items (2 dispatches instead of 4; conv is linear per batch item,
+    so results are bit-identical to separate calls)."""
 
     features: int
     kernel: tuple[int, int] = (2, 5)
@@ -58,8 +62,12 @@ class CConvEnc(nn.Module):
         conv_i = Conv2d(self.features, self.kernel, self.strides,
                         padding=self.padding, dilation=self.dilation,
                         name="imag_conv")
-        out_re = conv_r(re) - conv_i(im)
-        out_im = conv_r(im) + conv_i(re)
+        b = re.shape[0]
+        z = jnp.concatenate([re, im], axis=0)
+        zr = conv_r(z)  # (conv_r(re), conv_r(im))
+        zi = conv_i(z)  # (conv_i(re), conv_i(im))
+        out_re = zr[:b] - zi[b:]
+        out_im = zr[b:] + zi[:b]
         return out_re, out_im
 
 
@@ -77,8 +85,12 @@ class CConvDec(nn.Module):
         conv_i = ConvTranspose2d(self.features, self.kernel, self.strides,
                                  padding=(0, 2), output_padding=(0, 1),
                                  name="imag_conv")
-        out_re = (conv_r(re) - conv_i(im))[:, :t_in]
-        out_im = (conv_r(im) + conv_i(re))[:, :t_in]
+        b = re.shape[0]
+        z = jnp.concatenate([re, im], axis=0)  # batch-stacked, see CConvEnc
+        zr = conv_r(z)
+        zi = conv_i(z)
+        out_re = (zr[:b] - zi[b:])[:, :t_in]
+        out_im = (zr[b:] + zi[:b])[:, :t_in]
         return out_re, out_im
 
 

@@ -61,8 +61,14 @@ class ComplexConv2d(nn.Module):
         conv_i = Conv2d(half, self.kernel_size, self.strides,
                         padding=tuple(tuple(p) for p in self.padding_tf),
                         name="imag_conv")
-        out_re = conv_r(re) - conv_i(im)
-        out_im = conv_i(re) + conv_r(im)
+        # re/im stacked on the batch axis: one conv per weight (2 dispatches
+        # instead of 4); conv is linear per batch item -> identical results
+        b = re.shape[0]
+        z = jnp.concatenate([re, im], axis=0)
+        zr = conv_r(z)
+        zi = conv_i(z)
+        out_re = zr[:b] - zi[b:]
+        out_im = zi[:b] + zr[b:]
         return merge_complex(out_re, out_im)
 
 
@@ -87,8 +93,12 @@ class ComplexConvTranspose2d(nn.Module):
                                  padding=self.padding,
                                  output_padding=self.output_padding,
                                  name="imag_conv")
-        out_re = conv_r(re) - conv_i(im)
-        out_im = conv_i(re) + conv_r(im)
+        b = re.shape[0]
+        z = jnp.concatenate([re, im], axis=0)  # batch-stacked, see ComplexConv2d
+        zr = conv_r(z)
+        zi = conv_i(z)
+        out_re = zr[:b] - zi[b:]
+        out_im = zi[:b] + zr[b:]
         return merge_complex(out_re, out_im)
 
 
@@ -107,12 +117,14 @@ class NaiveComplexLSTM(nn.Module):
         h = self.hidden // 2
         lstm_r = LSTM(h, num_layers=1, name="real_lstm")
         lstm_i = LSTM(h, num_layers=1, name="imag_lstm")
-        r2r = lstm_r(re)
-        r2i = lstm_i(re)
-        i2r = lstm_r(im)
-        i2i = lstm_i(im)
-        out_re = r2r - i2i
-        out_im = i2r + r2i
+        # re/im batch-stacked: 2 scans instead of 4, each with a 2B-row
+        # per-step gate matmul (recurrence is independent per batch item)
+        b = re.shape[0]
+        z = jnp.concatenate([re, im], axis=0)
+        zr = lstm_r(z)  # (r2r, i2r)
+        zi = lstm_i(z)  # (r2i, i2i)
+        out_re = zr[:b] - zi[b:]
+        out_im = zr[b:] + zi[:b]
         if self.projection_dim is not None:
             out_re = nn.Dense(self.projection_dim // 2, name="r_trans")(out_re)
             out_im = nn.Dense(self.projection_dim // 2, name="i_trans")(out_im)
@@ -129,6 +141,11 @@ class ComplexDense(nn.Module):
     def __call__(self, re: jnp.ndarray, im: jnp.ndarray):
         dense_r = nn.Dense(self.features, use_bias=self.use_bias, name="linear_real")
         dense_i = nn.Dense(self.features, use_bias=self.use_bias, name="linear_imag")
-        out_re = dense_r(re) - dense_i(im)
-        out_im = dense_i(re) + dense_r(im)
+        # leading-axis stacking: one matmul per weight (see ComplexConv2d)
+        z = jnp.concatenate([re, im], axis=0)
+        b = re.shape[0]
+        zr = dense_r(z)
+        zi = dense_i(z)
+        out_re = zr[:b] - zi[b:]
+        out_im = zi[:b] + zr[b:]
         return out_re, out_im

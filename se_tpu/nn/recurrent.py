@@ -20,12 +20,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
-    """xp: (T, B, 4H) precomputed input projections -> (T, B, H) outputs."""
+def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2,
+                     carry=None):
+    """xp: (T, B, 4H) precomputed input projections -> ((T, B, H), carry)."""
     t_len, b, four_h = xp.shape
     h_dim = four_h // 4
-    h0 = jnp.zeros((b, h_dim), jnp.float32)
-    c0 = jnp.zeros((b, h_dim), jnp.float32)
+    if carry is None:
+        carry = (jnp.zeros((b, h_dim), jnp.float32),
+                 jnp.zeros((b, h_dim), jnp.float32))
 
     def step(carry, xt):
         h, c = carry
@@ -42,8 +44,8 @@ def _lstm_recurrence(xp: jnp.ndarray, wh: jnp.ndarray, unroll: int = 2):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    (_, _), ys = jax.lax.scan(step, (h0, c0), xp, unroll=unroll)
-    return ys
+    carry, ys = jax.lax.scan(step, carry, xp, unroll=unroll)
+    return ys, carry
 
 
 def _lstm_recurrence_chunked(xs: jnp.ndarray, wx, wh, b, chunk: int = 32,
@@ -98,27 +100,38 @@ def lstm_layer(
     b: jnp.ndarray,
     reverse: bool = False,
     unroll: int = 2,
-) -> jnp.ndarray:
-    """(B, T, in) -> (B, T, H) single-direction LSTM layer."""
+    carry=None,
+    return_carry: bool = False,
+):
+    """(B, T, in) -> (B, T, H) single-direction LSTM layer.
+
+    `carry=(h, c)` seeds the recurrence (streaming decode); with
+    `return_carry=True` returns `(out, (h, c))` so callers can chain chunks
+    exactly. Carries are only meaningful for the forward direction."""
     bsz, t_len, in_dim = x.shape
     four_h = wx.shape[1]
     proj_bytes = bsz * t_len * four_h * 4
-    fused = proj_bytes > _PRECOMPUTE_LIMIT_BYTES
+    fused = proj_bytes > _PRECOMPUTE_LIMIT_BYTES and carry is None \
+        and not return_carry
 
     if fused:
         xs = jnp.swapaxes(x, 0, 1)
         if reverse:
             xs = jnp.flip(xs, axis=0)
         ys = _lstm_recurrence_chunked(xs, wx, wh, b, unroll=unroll)
+        out_carry = None
     else:
         xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
         xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
         if reverse:
             xp = jnp.flip(xp, axis=0)
-        ys = _lstm_recurrence(xp, wh, unroll=unroll)
+        ys, out_carry = _lstm_recurrence(xp, wh, unroll=unroll, carry=carry)
     if reverse:
         ys = jnp.flip(ys, axis=0)
-    return jnp.swapaxes(ys, 0, 1)
+    ys = jnp.swapaxes(ys, 0, 1)
+    if return_carry:
+        return ys, out_carry
+    return ys
 
 
 class LSTM(nn.Module):
@@ -135,9 +148,15 @@ class LSTM(nn.Module):
     unroll: int = 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, carry=None):
+        """carry: optional list of per-layer (h, c) tuples (uni-directional
+        only) for exact chunked/streaming decode; when given, returns
+        (out, new_carry)."""
         h = self.features
         directions = (False, True) if self.bidirectional else (False,)
+        if carry is not None and self.bidirectional:
+            raise ValueError("carry is only supported uni-directionally")
+        new_carry = []
         for layer in range(self.num_layers):
             in_dim = x.shape[-1]
             outs = []
@@ -152,8 +171,24 @@ class LSTM(nn.Module):
                 wx = self.param(f"{sfx}_wx", shifted, (in_dim, 4 * h))
                 wh = self.param(f"{sfx}_wh", shifted, (h, 4 * h))
                 b = self.param(f"{sfx}_b", shifted, (4 * h,))
-                outs.append(
-                    lstm_layer(x, wx, wh, b, reverse=rev, unroll=self.unroll)
-                )
+                if carry is not None:
+                    out, lc = lstm_layer(x, wx, wh, b, unroll=self.unroll,
+                                         carry=carry[layer],
+                                         return_carry=True)
+                    new_carry.append(lc)
+                    outs.append(out)
+                else:
+                    outs.append(
+                        lstm_layer(x, wx, wh, b, reverse=rev,
+                                   unroll=self.unroll)
+                    )
             x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        if carry is not None:
+            return x, new_carry
         return x
+
+    @staticmethod
+    def zero_carry(batch: int, features: int, num_layers: int):
+        z = lambda: (jnp.zeros((batch, features), jnp.float32),
+                     jnp.zeros((batch, features), jnp.float32))
+        return [z() for _ in range(num_layers)]

@@ -38,6 +38,12 @@ class TrainConfig:
     learning_rate: float = 1e-3
     compressed: bool = True
     grad_clip: float | None = 5.0
+    # Rematerialization for long-utterance training (HBM <-> FLOPs trade):
+    # "none" stores all forward activations; "dots" saves only matmul/conv
+    # outputs (elementwise chains recompute in backward — cheap on TPU,
+    # where they are HBM-bandwidth-bound anyway); "full" recomputes the
+    # whole forward.
+    remat: str = "none"
     model_kwargs: dict = dataclasses.field(default_factory=dict)
 
 
@@ -169,13 +175,27 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             state = replicate(state, mesh)
         return state
 
+    if cfg.remat == "none":
+        train_forward = forward_loss
+    elif cfg.remat in ("dots", "full"):
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat == "dots" else None)
+        train_forward = jax.checkpoint(
+            lambda p, ev, rngs, b: forward_loss(p, ev, rngs, b, train=True),
+            policy=policy)
+    else:
+        raise ValueError(f"unknown remat policy {cfg.remat!r}")
+
     @jax.jit
     def step_fn(state, batch):
         rng, step_rng = jax.random.split(state["rng"])
 
         def loss_fn(params):
-            return forward_loss(params, state["extra_vars"],
-                                {"dropout": step_rng}, batch, train=True)
+            if cfg.remat == "none":
+                return forward_loss(params, state["extra_vars"],
+                                    {"dropout": step_rng}, batch, train=True)
+            return train_forward(params, state["extra_vars"],
+                                 {"dropout": step_rng}, batch)
 
         (loss, new_vars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

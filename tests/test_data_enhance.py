@@ -197,3 +197,18 @@ def test_composite_measures(rng):
     assert wss_n > wss_c and seg_n < seg_c
     csig, cbak, covl = composite(clean, noisy, fs, pesq_mos=3.0)
     assert all(1.0 <= v <= 5.0 for v in (csig, cbak, covl))
+
+
+def test_spectral_distortion(rng):
+    from se_tpu.eval.metrics import spectral_distortion
+
+    xi = rng.uniform(0.01, 10.0, size=(12, 257))
+    d0 = spectral_distortion(xi, xi)
+    np.testing.assert_allclose(d0, 0.0, atol=1e-12)
+    # known value: uniform 10x over-estimate -> 10 dB per frame
+    d10 = spectral_distortion(xi, xi * 10.0)
+    np.testing.assert_allclose(d10, 10.0, rtol=1e-9)
+    # flooring at 1e-12 (matches the MATLAB max())
+    dz = spectral_distortion(np.zeros((3, 4)), np.zeros((3, 4)))
+    np.testing.assert_allclose(dz, 0.0, atol=1e-12)
+    assert d10.shape == (12,)
