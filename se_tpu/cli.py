@@ -126,7 +126,7 @@ def cmd_score(args):
         est, ref = est[:n].astype(np.float64), ref[:n].astype(np.float64)
         from se_tpu.eval.pesq import pesq as _pesq
 
-        rows.append({
+        row = {
             "utt": fid,
             "pesq_mos_lqo": _pesq(ref, est, args.fs) if args.fs in (8000, 16000)
             else float("nan"),
@@ -135,7 +135,13 @@ def cmd_score(args):
             "seg_snr": metrics.seg_snr(est, ref),
             "stoi": metrics.stoi(est, ref, args.fs),
             "estoi": metrics.estoi(est, ref, args.fs),
-        })
+        }
+        if getattr(args, "hasqi", False):
+            from se_tpu.eval.hasqi import hasqi_v2, haspi_v1
+
+            row["hasqi"] = hasqi_v2(ref, est, args.fs)
+            row["haspi"] = haspi_v1(ref, est, args.fs)
+        rows.append(row)
     if not rows:
         raise SystemExit("no wav files scored")
     os.makedirs(os.path.dirname(os.path.abspath(args.csv)), exist_ok=True)
@@ -212,6 +218,8 @@ def main(argv=None):
     ps.add_argument("--dataset", choices=["vb", "wsj"], default="vb")
     ps.add_argument("--tag", default="")
     ps.add_argument("--fs", type=int, default=16000)
+    ps.add_argument("--hasqi", action="store_true",
+                    help="also compute HASQI v2 / HASPI v1 (slower)")
     ps.set_defaults(func=cmd_score)
 
     pt = sub.add_parser("train")
