@@ -103,10 +103,19 @@ def write_wav(path: str, x: np.ndarray, sr: int, bits: int = 16) -> None:
         f.write(hdr + data)
 
 
-def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+def resample(x: np.ndarray, orig_sr: int, target_sr: int,
+             prefer_native: bool = True) -> np.ndarray:
     """Polyphase resampling (the decode scripts' librosa.resample role,
-    e.g. LSTM/lstm_decode_vb.py:34)."""
+    e.g. LSTM/lstm_decode_vb.py:34). Uses the C++ runtime's kaiser-windowed
+    polyphase kernel when built (matches scipy to ~2e-7); scipy otherwise."""
     if orig_sr == target_sr:
         return x.astype(np.float32)
     g = np.gcd(int(orig_sr), int(target_sr))
-    return resample_poly(x, target_sr // g, orig_sr // g).astype(np.float32)
+    up, down = target_sr // g, orig_sr // g
+    if prefer_native and x.ndim == 1:
+        from se_tpu.runtime.native import resample_poly_native
+
+        out = resample_poly_native(x, up, down)
+        if out is not None:
+            return out
+    return resample_poly(x, up, down).astype(np.float32)

@@ -48,6 +48,12 @@ def _load():
     ]
     lib.rms_gain.restype = ctypes.c_float
     lib.rms_gain.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.resample_poly.restype = ctypes.c_int64
+    lib.resample_poly.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
     _LIB = lib
     return lib
 
@@ -83,3 +89,22 @@ def rms_gain_native(x: np.ndarray) -> float | None:
     x = np.ascontiguousarray(x, np.float32)
     return float(lib.rms_gain(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x)))
+
+
+def resample_poly_native(x: np.ndarray, up: int, down: int) -> np.ndarray | None:
+    """Kaiser-windowed polyphase resampling in C++ (scipy.resample_poly
+    semantics); None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n = len(x)
+    n_out = -(-n * up // down)
+    out = np.empty(max(n_out, 1), np.float32)
+    got = lib.resample_poly(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        up, down,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out))
+    if got < 0:
+        return None
+    return out[:got]

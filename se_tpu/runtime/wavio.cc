@@ -110,4 +110,71 @@ void crop_pad(const float* x, int64_t n, int64_t start, float* dst,
   }
 }
 
+// ------------------------------------------------------------- resampling
+// Polyphase resampler matching scipy.signal.resample_poly(x, up, down)
+// (the python fallback in se_tpu/data/wav.py): windowed-sinc FIR designed
+// like firwin(2*10*max(up,down)+1, 1/max(up,down), ('kaiser', 5.0)),
+// DC-normalized, scaled by `up`, applied centered with zero edge padding.
+// The reference resamples per utterance in its decode loops
+// (LSTM/lstm_decode_vb.py:34) — this keeps that hot path native.
+
+static double bessel_i0(double x) {
+  double s = 1.0, t = 1.0;
+  const double q = x * x / 4.0;
+  for (int k = 1; k < 64; ++k) {
+    t *= q / (static_cast<double>(k) * k);
+    s += t;
+    if (t < 1e-18 * s) break;
+  }
+  return s;
+}
+
+int64_t resample_poly(const float* x, int64_t n, int32_t up, int32_t down,
+                      float* out, int64_t out_cap) {
+  if (up <= 0 || down <= 0 || n <= 0) return -1;
+  if (up == down) {
+    int64_t m = n < out_cap ? n : out_cap;
+    memcpy(out, x, m * sizeof(float));
+    return m;
+  }
+  const int64_t max_ud = up > down ? up : down;
+  const int64_t half = 10 * max_ud;
+  const int64_t ntaps = 2 * half + 1;
+  double* h = static_cast<double*>(malloc(ntaps * sizeof(double)));
+  if (h == nullptr) return -1;
+  const double fc = 1.0 / static_cast<double>(max_ud);
+  const double beta = 5.0;
+  const double denom = bessel_i0(beta);
+  double dc = 0.0;
+  for (int64_t k = 0; k < ntaps; ++k) {
+    const double m = static_cast<double>(k - half);
+    const double sinc = (k == half) ? fc : sin(M_PI * fc * m) / (M_PI * m);
+    const double r = static_cast<double>(k) / (ntaps - 1) * 2.0 - 1.0;
+    const double w = bessel_i0(beta * sqrt(1.0 - r * r > 0 ? 1.0 - r * r : 0.0)) / denom;
+    h[k] = sinc * w;
+    dc += h[k];
+  }
+  const double g = static_cast<double>(up) / dc;
+  for (int64_t k = 0; k < ntaps; ++k) h[k] *= g;
+
+  int64_t n_out = (n * up + down - 1) / down;
+  if (n_out > out_cap) n_out = out_cap;
+  for (int64_t j = 0; j < n_out; ++j) {
+    const int64_t t = j * down + half;  // center-aligned in upsampled time
+    // contributions x[i] with tap k = t - i*up in [0, ntaps)
+    int64_t i_lo = (t - (ntaps - 1) + up - 1) / up;
+    if (t - (ntaps - 1) <= 0) i_lo = 0;
+    if (i_lo < 0) i_lo = 0;
+    int64_t i_hi = t / up;
+    if (i_hi > n - 1) i_hi = n - 1;
+    double acc = 0.0;
+    for (int64_t i = i_lo; i <= i_hi; ++i) {
+      acc += h[t - i * up] * static_cast<double>(x[i]);
+    }
+    out[j] = static_cast<float>(acc);
+  }
+  free(h);
+  return n_out;
+}
+
 }  // extern "C"

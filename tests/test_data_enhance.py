@@ -212,3 +212,22 @@ def test_spectral_distortion(rng):
     dz = spectral_distortion(np.zeros((3, 4)), np.zeros((3, 4)))
     np.testing.assert_allclose(dz, 0.0, atol=1e-12)
     assert d10.shape == (12,)
+
+
+def test_native_resampler_matches_scipy(rng):
+    from scipy.signal import resample_poly
+
+    from se_tpu.data.wav import resample
+    from se_tpu.runtime.native import available, resample_poly_native
+
+    if not available():
+        pytest.skip("native runtime not built")
+    x = (rng.standard_normal(48000) * 0.3).astype(np.float32)
+    for orig, tgt in [(48000, 16000), (16000, 8000), (44100, 16000)]:
+        up, down = tgt // np.gcd(orig, tgt), orig // np.gcd(orig, tgt)
+        want = resample_poly(x, up, down).astype(np.float32)
+        got = resample_poly_native(x, int(up), int(down))
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=5e-7)
+        # the public resample() rides the native path transparently
+        np.testing.assert_allclose(resample(x, orig, tgt), want, atol=5e-7)

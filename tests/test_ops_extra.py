@@ -87,3 +87,4 @@ def test_pre_emphasis(rng):
     np.testing.assert_allclose(
         np.asarray(y[:, 1:]), np.asarray(x[:, 1:] - 0.97 * x[:, :-1]),
         rtol=1e-6)
+
