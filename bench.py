@@ -79,7 +79,10 @@ def _bench_train(name: str, batch: int, seconds: float, iters: int = 8,
     """Training-step throughput (audio-seconds of training data per second)."""
     from se_tpu.train.trainer import TrainConfig, make_train_step
 
-    cfg = TrainConfig(model=name, remat=remat)
+    cfg = TrainConfig(
+        model=name, remat=remat,
+        compute_dtype={"bf16": "bf16", "fp32": "fp32"}[
+            os.environ.get("SE_TPU_BENCH_DTYPE", "fp32")])
     model, init_fn, step_fn, _ = make_train_step(cfg)
     n = int(seconds * SR)
     rng = np.random.default_rng(0)

@@ -176,6 +176,8 @@ def cmd_train(args):
         model=model_name,
         learning_rate=args.lr if args.lr else (preset.lr if preset else 1e-3),
         compressed=not args.uncompressed,
+        remat=getattr(args, "remat", "none"),
+        compute_dtype=getattr(args, "compute_dtype", "fp32"),
         model_kwargs=preset.resolved_model_kwargs() if preset else {},
     )
     entry_stft = __import__("se_tpu.models", fromlist=["get_model"]).get_model(
@@ -235,6 +237,12 @@ def main(argv=None):
     pt.add_argument("--uncompressed", action="store_true")
     pt.add_argument("--checkpoint-dir", default="./CP_dir")
     pt.add_argument("--data-parallel", action="store_true")
+    pt.add_argument("--remat", choices=["none", "dots", "full"],
+                    default="none",
+                    help="activation rematerialization policy")
+    pt.add_argument("--compute-dtype", dest="compute_dtype",
+                    choices=["fp32", "bf16"], default="fp32",
+                    help="bf16 trains with fp32 master weights")
     pt.set_defaults(func=cmd_train)
 
     args = p.parse_args(argv)

@@ -44,6 +44,11 @@ class TrainConfig:
     # where they are HBM-bandwidth-bound anyway); "full" recomputes the
     # whole forward.
     remat: str = "none"
+    # "bf16" runs the forward/backward in bfloat16 with fp32 master weights
+    # (params, Adam state, and the loss reduction stay fp32; the cast
+    # happens inside the grad so updates flow to the fp32 masters). bf16
+    # has an fp32-sized exponent, so no loss scaling is needed.
+    compute_dtype: str = "fp32"
     model_kwargs: dict = dataclasses.field(default_factory=dict)
 
 
@@ -90,21 +95,43 @@ def make_train_step(cfg: TrainConfig, mesh=None):
     tx_parts.append(optax.scale_by_adam())
     tx = optax.chain(*tx_parts)
 
+    bf16 = cfg.compute_dtype == "bf16"
+    if cfg.compute_dtype not in ("fp32", "bf16"):
+        raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r}")
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda p: p.astype(dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
     def forward_loss(params, extra_vars, rngs, batch, train: bool):
         mix = batch["mix"]
         clean = batch["clean"]
         frames = batch["frames"]
+        if bf16:
+            # fp32 master weights cast inside the grad: updates accumulate
+            # into fp32, compute runs on the MXU in bf16; DSP/losses stay
+            # fp32 at the edges (same contract as the bf16 enhance path)
+            params = _cast(params, jnp.bfloat16)
+            extra_vars = _cast(extra_vars, jnp.bfloat16)
         variables = {"params": params, **extra_vars}
         mutable = [k for k in extra_vars if k == "batch_stats"] if train else []
 
         def apply(*args, **kw):
             # flax returns (out, vars) whenever `mutable` is passed — even an
             # empty list — so only pass it when there is something to mutate
+            if bf16:
+                args = _cast(args, jnp.bfloat16)
             if mutable:
-                return model.apply(variables, *args, train=train, rngs=rngs,
-                                   mutable=mutable, **kw)
-            return model.apply(variables, *args, train=train, rngs=rngs,
-                               **kw), {}
+                out, new_vars = model.apply(variables, *args, train=train,
+                                            rngs=rngs, mutable=mutable, **kw)
+            else:
+                out, new_vars = model.apply(variables, *args, train=train,
+                                            rngs=rngs, **kw), {}
+            if bf16:  # losses and running stats stay fp32
+                out = _cast(out, jnp.float32)
+                new_vars = _cast(dict(new_vars), jnp.float32)
+            return out, new_vars
 
         if entry.io_kind == "waveform":
             (est, src, est_cplx, src_cplx), new_vars = apply(mix, clean)

@@ -117,3 +117,28 @@ def test_remat_matches_plain_step(rng, remat):
     # of 10% of one update (lr=1e-3) on the post-step params
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4), p0, p1)
+
+
+@pytest.mark.parametrize("name", ["lstm", "uformer"])
+def test_bf16_training_tracks_fp32(rng, name):
+    """bf16 compute with fp32 master weights: params stay fp32, loss is
+    finite and close to the fp32 step, and training still converges."""
+    batch = _toy_batch(rng, b=2, n=3200)
+    losses = {}
+    for dt in ("fp32", "bf16"):
+        cfg = TrainConfig(model=name, learning_rate=5e-4, compute_dtype=dt)
+        _, init_fn, step_fn, _ = make_train_step(cfg)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        first = None
+        for _ in range(4):
+            state, loss = step_fn(state, batch)
+            if first is None:
+                first = float(loss)
+        losses[dt] = (first, float(loss))
+        # master weights remain fp32
+        leaves = jax.tree.leaves(state["params"])
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert np.isfinite(float(loss))
+        assert float(loss) < first  # still learns
+    f32, b16 = losses["fp32"][0], losses["bf16"][0]
+    assert abs(f32 - b16) / (abs(f32) + 1e-9) < 0.05, losses
