@@ -105,6 +105,61 @@ def cmd_enhance(args):
             print(f" The {count} utterance has been decoded!")
 
 
+def cmd_stream(args):
+    """Streaming decode of a flat wav directory: `--mode exact` uses the
+    state-carrying LstmStreamer (lstm model, frame+chunk latency),
+    `--mode windowed` uses the zoo-wide chunked path (bounded memory,
+    one compiled shape per window geometry)."""
+    from se_tpu.data import read_wav, resample, write_wav
+    from se_tpu.eval.streaming import LstmStreamer, enhance_windowed
+    from se_tpu.models import get_model
+
+    entry = get_model(args.model)
+    model, variables = _load_variables(args, entry)
+    os.makedirs(args.out_dir, exist_ok=True)
+    count = 0
+    for fid in sorted(os.listdir(args.mix_dir)):
+        if not fid.endswith(".wav"):
+            continue
+        wav, sr = read_wav(os.path.join(args.mix_dir, fid))
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        wav = resample(wav, sr, args.fs)
+        if variables is None:
+            import jax.numpy as jnp
+            from se_tpu.ops.stft import stft
+
+            re, im = stft(jnp.asarray(wav[None]), entry.stft)
+            mag = jnp.sqrt(re**2 + im**2)
+            feats = mag if entry.io_kind in ("mag_mask", "cirm") else (
+                jnp.stack([re, im], axis=-1))
+            if entry.io_kind == "waveform":
+                variables = model.init(jax.random.PRNGKey(0), wav[None],
+                                       wav[None])
+            else:
+                variables = model.init(jax.random.PRNGKey(0), feats)
+        if args.mode == "exact":
+            if args.model != "lstm":
+                raise SystemExit("--mode exact currently supports --model lstm")
+            st = LstmStreamer(variables, model=model,
+                              compressed=not args.uncompressed,
+                              chunk_frames=args.chunk_frames)
+            step = max(entry.stft.hop, int(args.push_seconds * args.fs))
+            parts = [st.push(wav[i:i + step])
+                     for i in range(0, len(wav), step)]
+            parts.append(st.flush())
+            est = np.concatenate(parts)
+        else:
+            est = enhance_windowed(
+                args.model, variables, wav,
+                chunk_seconds=args.chunk_seconds,
+                context_seconds=args.context_seconds,
+                compressed=not args.uncompressed, model=model)
+        write_wav(os.path.join(args.out_dir, fid), est, args.fs)
+        count += 1
+        print(f" The {count} utterance has been streamed!")
+
+
 def cmd_score(args):
     from se_tpu.data import read_wav, resample
     from se_tpu.eval import metrics
@@ -212,6 +267,22 @@ def main(argv=None):
     pe.add_argument("--uncompressed", action="store_true")
     pe.add_argument("--fs", type=int, default=16000)
     pe.set_defaults(func=cmd_enhance)
+
+    pst = sub.add_parser("stream")
+    pst.add_argument("--model", default="lstm")
+    pst.add_argument("--mode", choices=["exact", "windowed"],
+                     default="windowed")
+    pst.add_argument("--mix-dir", dest="mix_dir", required=True)
+    pst.add_argument("--out-dir", dest="out_dir", default="./streamed")
+    pst.add_argument("--checkpoint", default="")
+    pst.add_argument("--best", action="store_true")
+    pst.add_argument("--uncompressed", action="store_true")
+    pst.add_argument("--fs", type=int, default=16000)
+    pst.add_argument("--chunk-seconds", type=float, default=4.0)
+    pst.add_argument("--context-seconds", type=float, default=2.0)
+    pst.add_argument("--chunk-frames", type=int, default=16)
+    pst.add_argument("--push-seconds", type=float, default=0.1)
+    pst.set_defaults(func=cmd_stream)
 
     ps = sub.add_parser("score")
     ps.add_argument("--est-dir", dest="est_dir", required=True)

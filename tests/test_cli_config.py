@@ -89,3 +89,23 @@ def test_cli_enhance_and_score(tmp_path, rng, capsys):
           "--csv", str(csv_path)])
     assert csv_path.is_file()
     assert (tmp_path / "res" / "average.csv").is_file()
+
+
+def test_cli_stream_both_modes(tmp_path, rng):
+    from se_tpu.cli import main
+    from se_tpu.data import read_wav, write_wav
+
+    mix_dir = tmp_path / "noisy"
+    mix_dir.mkdir()
+    n = 12000
+    write_wav(str(mix_dir / "u0.wav"),
+              (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+
+    for mode, model, out in (("exact", "lstm", "e"), ("windowed", "gcrn", "w")):
+        out_dir = tmp_path / out
+        main(["stream", "--model", model, "--mode", mode,
+              "--mix-dir", str(mix_dir), "--out-dir", str(out_dir),
+              "--chunk-seconds", "0.4", "--context-seconds", "0.2"])
+        est, sr = read_wav(str(out_dir / "u0.wav"))
+        assert sr == 16000 and est.shape == (n,)
+        assert np.all(np.isfinite(est))
