@@ -4,8 +4,22 @@ Table D)."""
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (the reference's tf.compat.v1.profiler /
+    model-summary role, ref DeepXi/deepxi/model.py:737-743); view with
+    TensorBoard or xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def num_params(variables_or_params) -> int:
