@@ -399,6 +399,120 @@ class ResLSTM(nn.Module):
         return _outp_act(out, self.outp_act)
 
 
+class RDLNet(nn.Module):
+    """Residual-dense lattice network (ref DeepXi/deepxi/network/rdlnet.py:13-163).
+
+    The selector imports RDLNet from a `dev` package absent from the reference
+    repo (network/selector.py:47-58), but the shipped
+    `deepxi/network/rdlnet.py` module is self-contained and is the spec
+    implemented here. Each block is a triangular lattice of dilated causal
+    conv units: height H=(L-1)//2+1 rows, L columns; row h uses
+    n_filt=m_1/2^h, kernel 2(h+1)-1, dilation 2^h. Units are joined by
+    weighted residual links (the wider tensor is projected to the narrower
+    one with a bias-free 1x1 conv, rdlnet.py:119-135) and channel concats;
+    each block's output is concatenated onto its input (DenseNet-style,
+    rdlnet.py:47-49).
+
+    Reference quirks handled deliberately:
+    - rdlnet.py:99 builds a unit on `inp` with stale (n_filt, k, d_rate)
+      whose output is immediately overwritten at :115; in Keras' functional
+      API that layer is dangling (unreachable from the model output), so it
+      contributes nothing and is omitted.
+    - The "scale*LN+center->ReLU->W+b" unit (rdlnet.py:151-156) computes an
+      LN of its input but then discards it (`x = ReLU()(inp)` overwrites),
+      and the LN is parameter-free (center=False, scale=False) — the
+      effective computation ReLU->conv is implemented directly.
+    """
+
+    n_outp: int = 257
+    n_blocks: int = 3
+    length: int = 7
+    m_1: int = 64
+    padding: str = "causal"
+    unit_type: str = "ReLU->LN->W+b"
+    outp_act: str = "Sigmoid"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for i in range(self.n_blocks):
+            h = jnp.concatenate([self._block(h, i), h], axis=-1)
+        out = nn.Dense(self.n_outp, name="out_conv")(h)
+        return _outp_act(out, self.outp_act)
+
+    def _unit(self, x, n_filt, k, d_rate, name):
+        if self.unit_type == "ReLU->LN->W+b":
+            x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                             name=f"{name}_norm")(nn.relu(x))
+        elif self.unit_type == "scale*LN+center->ReLU->W+b":
+            x = nn.relu(x)  # LN output discarded by the reference (see class doc)
+        else:
+            raise ValueError(f"invalid unit_type {self.unit_type!r}")
+        if self.padding == "causal":
+            from se_tpu.nn.conv import CausalConv1d
+
+            return CausalConv1d(n_filt, k, dilation=d_rate,
+                                name=f"{name}_conv")(x)
+        return nn.Conv(n_filt, (k,), kernel_dilation=(d_rate,),
+                       padding="SAME", name=f"{name}_conv")(x)
+
+    def _wres(self, x, y, name):
+        # Weighted residual: project the wider input down (rdlnet.py:119-135).
+        if x.shape[-1] > y.shape[-1]:
+            x = nn.Dense(y.shape[-1], use_bias=False, name=f"{name}_proj")(x)
+        elif x.shape[-1] < y.shape[-1]:
+            y = nn.Dense(x.shape[-1], use_bias=False, name=f"{name}_proj")(y)
+        return x + y
+
+    def _block(self, inp, bi):
+        height = (self.length - 1) // 2 + 1
+        midpoint = (self.length + 1) // 2
+        lat = [[None] * self.length for _ in range(height)]
+        for l in range(midpoint):
+            # Last ascending column iterates rows top-down (rdlnet.py:66-67)
+            # so the h+1 concat below sees an already-built neighbour.
+            rows = range(height) if l != midpoint - 1 else reversed(range(height))
+            for h in rows:
+                if h > l:
+                    continue
+                if l == 0:
+                    unit_inp = inp
+                elif l == h:
+                    unit_inp = lat[h - 1][l - 1]
+                else:
+                    unit_inp = lat[h][l - 1]
+                name = f"b{bi}_h{h}_l{l}"
+                u = self._unit(unit_inp, int(self.m_1 / 2**h),
+                               2 * (h + 1) - 1, 2**h, name)
+                if l == h:
+                    out = u
+                elif h == 0 and l == 1:
+                    out = self._wres(u, inp, name)
+                elif h + 1 == l:
+                    out = self._wres(u, lat[h - 1][l - 2], name)
+                else:
+                    out = self._wres(u, lat[h][l - 2], name)
+                if l == 0 or h == height - 1 or (h == 0 and l < midpoint - 1):
+                    pass
+                elif l == midpoint - 1:
+                    out = jnp.concatenate([out, lat[h + 1][l]], axis=-1)
+                else:
+                    out = jnp.concatenate([out, lat[h - 1][l]], axis=-1)
+                lat[h][l] = out
+        for l in range(midpoint, self.length):
+            for h in reversed(range(height)):
+                if h >= self.length - l:
+                    continue
+                name = f"b{bi}_h{h}_l{l}"
+                u = self._unit(lat[h][l - 1], int(self.m_1 / 2**h),
+                               2 * (h + 1) - 1, 2**h, name)
+                out = self._wres(u, lat[h][l - 2], name)
+                if l != self.length - h - 1:
+                    out = jnp.concatenate([out, lat[h + 1][l]], axis=-1)
+                lat[h][l] = out
+        return lat[0][self.length - 1]
+
+
 # --------------------------------------------------------------- MagXi glue
 
 def polar_analysis(x: jnp.ndarray):
@@ -456,6 +570,7 @@ class DeepXi(nn.Module):
             "MHANetV3": functools.partial(MHANet, learned_pos=True),
             "ResLSTM": ResLSTM,
             "ResBiLSTM": functools.partial(ResLSTM, bidirectional=True),
+            "RDLNet": RDLNet,
         }
         if self.network not in nets:
             raise ValueError(f"unknown network {self.network!r}")

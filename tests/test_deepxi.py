@@ -94,6 +94,39 @@ def test_resnetv2_param_count_and_shapes(rng):
     assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
 
 
+@pytest.mark.parametrize("unit_type",
+                         ["ReLU->LN->W+b", "scale*LN+center->ReLU->W+b"])
+def test_rdlnet_shapes_and_causality(rng, unit_type):
+    """RDLNet lattice (ref deepxi/network/rdlnet.py): shape, range, and —
+    with padding='causal' — strict causality of the full lattice."""
+    from se_tpu.models.deepxi import RDLNet
+
+    model = RDLNet(n_outp=33, n_blocks=2, length=5, m_1=32,
+                   unit_type=unit_type)
+    x = jnp.asarray(rng.standard_normal((2, 24, 33)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(variables, x)
+    assert out.shape == (2, 24, 33)
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o)) and np.all((o >= 0) & (o <= 1))
+
+    # Causality: changing frames >= t must not affect outputs < t.
+    t = 13
+    x2 = x.at[:, t:].add(
+        jnp.asarray(rng.standard_normal((2, 24 - t, 33)).astype(np.float32)))
+    out2 = jax.jit(model.apply)(variables, x2)
+    np.testing.assert_allclose(np.asarray(out2)[:, :t], o[:, :t],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rdlnet_selectable_via_deepxi(rng):
+    model = DeepXi(network="RDLNet", n_feat=33)
+    x = jnp.asarray(rng.standard_normal((1, 12, 33)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 12, 33)
+
+
 def test_deepxi_end_to_end_enhance(rng):
     n = 8192
     s = rng.standard_normal(n).astype(np.float32) * 0.1
