@@ -27,6 +27,91 @@ from se_tpu.models.deepxi import DeepXi, XiMap, compute_xi_stats
 from se_tpu.models.deepxi_inp_tgt import MagXi, n_frames
 
 
+def snr_db(s: np.ndarray, d: np.ndarray) -> float:
+    """SNR (dB) between speech and noise (ref deepxi/sig.py:358-374)."""
+    p_s = float(np.mean(np.square(s)))
+    p_d = float(np.mean(np.square(d)))
+    return 10.0 * np.log10(p_s / max(p_d, 1e-12))
+
+
+class Prelim:
+    """Toy trainer sanity-checking network + temporal masking
+    (ref DeepXi/deepxi/prelim.py:18-98): fit a constant 5-value frame target
+    from uniform-random inputs with BCE and per-frame sequence masks. The
+    reference prints target vs prediction; here `train()` returns both so
+    tests can assert convergence."""
+
+    def __init__(self, n_feat: int, network: str = "ResNet", **net_kwargs):
+        from se_tpu.models.deepxi import ResLSTM, ResNet
+
+        if n_feat < 5:
+            raise ValueError("More input features are required for this example.")
+        self.n_feat = n_feat
+        if network == "ResNet":
+            kw = dict(n_blocks=40, d_model=256, d_f=64, k=3, max_d_rate=16)
+            kw.update(net_kwargs)
+            self.net = ResNet(n_outp=n_feat, **kw)
+        elif network == "ResLSTM":
+            kw = dict(n_blocks=3, d_model=256)
+            kw.update(net_kwargs)
+            self.net = ResLSTM(n_outp=n_feat, **kw)
+        else:
+            raise ValueError("Invalid network type.")
+
+    def _target_frame(self) -> np.ndarray:
+        y = np.zeros(self.n_feat, np.float32)
+        y[:5] = [0.05, 0.99, 0.5, 0.01, 0.75]
+        return y
+
+    def train(self, mbatch_size: int = 8, max_epochs: int = 20,
+              batch_size: int = 100, max_seq_len: int = 75,
+              min_seq_len: int = 45, lr: float = 1e-3, seed: int = 0):
+        import math
+
+        import optax
+
+        tx = optax.chain(optax.clip(1.0), optax.adam(lr))
+        rng = np.random.default_rng(seed)
+        y_frame = self._target_frame()
+
+        @jax.jit
+        def step(params, opt_state, x, y, mask):
+            def loss_fn(p):
+                pred = jnp.clip(self.net.apply({"params": p}, x), 1e-7,
+                                1 - 1e-7)
+                bce = -(y * jnp.log(pred) + (1 - y) * jnp.log(1 - pred))
+                m = mask[..., None]
+                return jnp.sum(bce * m) / jnp.maximum(
+                    jnp.sum(m) * x.shape[-1], 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params = opt_state = None
+        x = None
+        for _ in range(max_epochs):
+            for _ in range(math.ceil(batch_size / mbatch_size)):
+                x = rng.random((mbatch_size, max_seq_len, self.n_feat),
+                               dtype=np.float32)
+                seq_len = rng.integers(min_seq_len, max_seq_len + 1,
+                                       mbatch_size)
+                mask = (np.arange(max_seq_len)[None] <
+                        seq_len[:, None]).astype(np.float32)
+                x *= mask[..., None]
+                y = np.tile(y_frame, (mbatch_size, max_seq_len, 1)) \
+                    * mask[..., None]
+                if params is None:
+                    params = self.net.init(
+                        jax.random.PRNGKey(seed), jnp.asarray(x))["params"]
+                    opt_state = tx.init(params)
+                params, opt_state, _ = step(params, opt_state,
+                                            jnp.asarray(x), jnp.asarray(y),
+                                            jnp.asarray(mask))
+        pred = self.net.apply({"params": params}, jnp.asarray(x[:1]))
+        return y_frame, np.asarray(pred[0, 0])
+
+
 class DeepXiDriver:
     """Minimal-state driver; `ver` names the stats artifact like the
     reference's data/<ver>_inp_tgt.p (ref model.py:84-96)."""
@@ -110,6 +195,32 @@ class DeepXiDriver:
                     history.append((i, float(loss)))
                 i += 1
         return history
+
+    # ------------------------------------------------- training self-checks
+    def eval_example(self, clean, noisy, frames, out_dir: str = ".") -> list:
+        """Dump one minibatch of examples and verify mixing SNRs
+        (ref model.py:182-201 `eval_example`): saves the observation/target/
+        mask arrays to .mat files and returns the actual per-utterance SNR
+        (dB) of the pairs, computed with `snr_db` on d = x - s (the live
+        add_noise path, ref sig.py:245-301, reduces to this subtraction for
+        pre-mixed pairs)."""
+        from scipy.io import savemat
+
+        s = jnp.asarray(clean)
+        x = jnp.asarray(noisy)
+        obs, target = self.inp_tgt.example(s, x)
+        t = obs.shape[1]
+        mask = (np.arange(t)[None, :] < np.asarray(frames)[:, None]).astype(
+            np.float32)
+        os.makedirs(out_dir, exist_ok=True)
+        savemat(os.path.join(out_dir, "inp_batch.mat"),
+                {"inp_batch": np.asarray(obs)})
+        savemat(os.path.join(out_dir, "tgt_batch.mat"),
+                {"tgt_batch": np.asarray(target)})
+        savemat(os.path.join(out_dir, "seq_mask_batch.mat"),
+                {"seq_mask_batch": mask})
+        d = np.asarray(x) - np.asarray(s)
+        return [float(snr_db(np.asarray(s[i]), d[i])) for i in range(len(s))]
 
     # ------------------------------------------------------------ inference
     def infer_dir(self, mix_dir: str, out_dir: str, fs: int = 16000):

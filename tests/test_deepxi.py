@@ -180,6 +180,50 @@ def test_inp_tgt_family(rng):
         assert np.all(np.isfinite(np.asarray(y))), kind
 
 
+def test_prelim_toy_trainer_converges():
+    """Prelim sanity-check (ref deepxi/prelim.py:18-98): a small ResNet fits
+    the constant 5-value frame target from random inputs under BCE with
+    temporal masks."""
+    from se_tpu.models.deepxi_driver import Prelim
+
+    prelim = Prelim(n_feat=8, network="ResNet", n_blocks=4, d_model=32,
+                    d_f=16)
+    target, pred = prelim.train(mbatch_size=8, max_epochs=10, batch_size=16,
+                                max_seq_len=24, min_seq_len=16)
+    assert pred.shape == (8,)
+    np.testing.assert_allclose(pred[:5], target[:5], atol=0.15)
+
+    with pytest.raises(ValueError):
+        Prelim(n_feat=3)
+
+
+def test_eval_example_snr_check(tmp_path, rng):
+    """eval_example (ref model.py:182-201): dumps the minibatch .mat files
+    and reports the actual mixing SNR of each pair."""
+    from se_tpu.models.deepxi_driver import DeepXiDriver, snr_db
+    from se_tpu.models.deepxi_inp_tgt import n_frames
+
+    n = 8192
+    clean = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    noise = rng.standard_normal((2, n)).astype(np.float32)
+    # Scale noise for exact target SNRs of 0 and 5 dB.
+    for i, snr in enumerate([0.0, 5.0]):
+        alpha = np.sqrt(np.mean(clean[i] ** 2) /
+                        (np.mean(noise[i] ** 2) * 10 ** (snr / 10)))
+        noise[i] *= alpha
+    noisy = clean + noise
+
+    drv = DeepXiDriver(data_path=str(tmp_path / "data"), ver="test")
+    drv.xi_map.mu = np.zeros(257, np.float32)
+    drv.xi_map.sigma = np.ones(257, np.float32)
+    frames = [n_frames(n), n_frames(n)]
+    snrs = drv.eval_example(clean, noisy, frames, out_dir=str(tmp_path))
+    np.testing.assert_allclose(snrs, [0.0, 5.0], atol=1e-3)
+    for f in ("inp_batch.mat", "tgt_batch.mat", "seq_mask_batch.mat"):
+        assert (tmp_path / f).is_file()
+    assert abs(snr_db(clean[0], noise[0])) < 1e-3
+
+
 def test_deepxi_driver_end_to_end(tmp_path, rng):
     from se_tpu.data.wav import write_wav
     from se_tpu.models.deepxi_driver import DeepXiDriver
