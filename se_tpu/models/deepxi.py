@@ -322,6 +322,12 @@ class MHANet(nn.Module):
 
     V3 flavor (`learned_pos=True`) adds a learned positional embedding
     (ref attention.py:387-433).
+
+    Zero-padded frames (all features == 0, Keras `Masking(0.0)` semantics)
+    are excluded from attention: logits get the additive -1e9 mask and the
+    softmax output is multiplied by the pairwise sequence mask
+    (ref attention.py:189-207, 209-246), so padded tails cannot leak into
+    valid frames.
     """
 
     n_outp: int = 257
@@ -343,9 +349,12 @@ class MHANet(nn.Module):
                              (self.max_len, self.d_model))
             h = h + pos[:t][None]
 
-        mask = None
+        valid = jnp.any(x != 0, axis=-1)  # (B, T) Masking(0.0) semantics
+        seq_pair = valid[:, None, :] & valid[:, :, None]  # (B, T, T)
+        mask = seq_pair[:, None]  # (B, 1, T, T)
         if self.causal:
-            mask = jnp.tril(jnp.ones((t, t), bool))
+            mask = mask & jnp.tril(jnp.ones((t, t), bool))[None, None]
+        seq_f = seq_pair[:, None].astype(x.dtype)
 
         d_k = self.d_model // self.n_heads
         for i in range(self.n_blocks):
@@ -358,9 +367,8 @@ class MHANet(nn.Module):
 
             logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
             logits = logits / np.sqrt(d_k)
-            if mask is not None:
-                logits = jnp.where(mask[None, None], logits, -1e9)
-            att = nn.softmax(logits, axis=-1)
+            logits = jnp.where(mask, logits, logits - 1e9)
+            att = nn.softmax(logits, axis=-1) * seq_f
             ctx = jnp.einsum("bhqk,bhkd->bhqd", att, split(v))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, self.d_model)
             ctx = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_o")(ctx)

@@ -180,6 +180,25 @@ def test_inp_tgt_family(rng):
         assert np.all(np.isfinite(np.asarray(y))), kind
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_mhanet_masks_padded_frames(rng, causal):
+    """MHANet excludes zero-padded frames from attention
+    (ref attention.py:189-246): a zero tail must not change valid-frame
+    outputs relative to the unpadded sequence."""
+    from se_tpu.models.deepxi import MHANet
+
+    model = MHANet(n_outp=17, d_model=32, n_blocks=2, n_heads=4,
+                   causal=causal)
+    t = 15
+    x = jnp.asarray(rng.standard_normal((2, t, 17)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    x_pad = jnp.concatenate([x, jnp.zeros((2, 6, 17), jnp.float32)], axis=1)
+    out_pad = model.apply(variables, x_pad)
+    np.testing.assert_allclose(np.asarray(out_pad)[:, :t], np.asarray(out),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_prelim_toy_trainer_converges():
     """Prelim sanity-check (ref deepxi/prelim.py:18-98): a small ResNet fits
     the constant 5-value frame target from random inputs under BCE with
