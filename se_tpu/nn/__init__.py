@@ -13,4 +13,8 @@ from se_tpu.nn.norms import (  # noqa: F401
     InstanceNorm2d,
     CumulativeLayerNorm1d,
     CumulativeLayerNorm2d,
+    SeqCausalLayerNorm,
+    SeqLayerNorm,
+    FrameLayerNorm,
+    deepxi_normalisation,
 )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -165,6 +166,107 @@ class CumulativeLayerNorm1d(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
             y = y * gain + bias
         return y.astype(x.dtype)
+
+
+class SeqCausalLayerNorm(nn.Module):
+    """DeepXi sequence-causal layer norm with sequence masking
+    (ref DeepXi/deepxi/normalisation.py:37-66).
+
+    Running statistics over all (time <= t, feature) entries with the
+    reference's exact formulation: mu_t = cumsum_t(sum_f x) / (t*F), and
+    sigma_t = cumsum_t(sum_f (x_u - mu_u)^2) / (t*F) — each frame's deviation
+    is taken against its *own* running mean before the cumulative sum (a
+    documented reference quirk, normalisation.py:57-59). Output is zeroed on
+    padded frames (seq mask multiply, :66). eps 1e-12 inside the sqrt
+    (tf.nn.batch_normalization variance_epsilon)."""
+
+    centre: bool = True
+    scale: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, seq_len: jnp.ndarray) -> jnp.ndarray:
+        b, t, f = x.shape
+        xf = x.astype(jnp.float32)
+        mask = (jnp.arange(t)[None, :] < seq_len[:, None]).astype(jnp.float32)
+        den = (jnp.arange(1, t + 1, dtype=jnp.float32) * f)[None, :, None]
+        mu = jnp.cumsum(jnp.sum(xf, -1), -1)[..., None] / den
+        sigma = jnp.cumsum(jnp.sum(jnp.square(xf - mu), -1), -1)[..., None] / den
+        y = (xf - mu) * jax.lax.rsqrt(sigma + 1e-12)
+        if self.scale:
+            y = y * self.param("gamma", nn.initializers.ones, (f,),
+                               self.param_dtype)
+        if self.centre:
+            y = y + self.param("beta", nn.initializers.zeros, (f,),
+                               self.param_dtype)
+        return (y * mask[..., None]).astype(x.dtype)
+
+
+class SeqLayerNorm(nn.Module):
+    """DeepXi whole-sequence masked layer norm
+    (ref normalisation.py:131-149): one mean/variance per utterance over all
+    valid (time, feature) entries; output zeroed on padded frames."""
+
+    centre: bool = True
+    scale: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, seq_len: jnp.ndarray) -> jnp.ndarray:
+        b, t, f = x.shape
+        xf = x.astype(jnp.float32)
+        mask = (jnp.arange(t)[None, :] < seq_len[:, None]).astype(
+            jnp.float32)[..., None]
+        den = jnp.sum(mask, axis=1, keepdims=True) * f
+        mean = jnp.sum(xf * mask, axis=(1, 2), keepdims=True) / den
+        var = jnp.sum(jnp.square(xf - mean) * mask, axis=(1, 2),
+                      keepdims=True) / den
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-12)
+        if self.scale:
+            y = y * self.param("gamma", nn.initializers.ones, (f,),
+                               self.param_dtype)
+        if self.centre:
+            y = y + self.param("beta", nn.initializers.zeros, (f,),
+                               self.param_dtype)
+        return (y * mask).astype(x.dtype)
+
+
+class FrameLayerNorm(nn.Module):
+    """DeepXi frame-wise layer norm (ref normalisation.py:69-98): per-frame
+    stats over features, eps 1e-12."""
+
+    centre: bool = True
+    scale: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-12)
+        if self.scale:
+            y = y * self.param("gamma", nn.initializers.ones, (f,),
+                               self.param_dtype)
+        if self.centre:
+            y = y + self.param("beta", nn.initializers.zeros, (f,),
+                               self.param_dtype)
+        return y.astype(x.dtype)
+
+
+def deepxi_normalisation(norm_type: str, **kwargs) -> nn.Module:
+    """Dispatcher mirroring `Normalisation` (ref normalisation.py:15-34)."""
+    table = {
+        "SeqCausalLayerNorm": SeqCausalLayerNorm,
+        "SeqLayerNorm": SeqLayerNorm,
+        "FrameLayerNorm": FrameLayerNorm,
+    }
+    if norm_type == "unnormalised":
+        raise ValueError("'unnormalised' needs no module; apply identity")
+    if norm_type not in table:
+        raise ValueError(f"Normalisation type does not exist: {norm_type}.")
+    return table[norm_type](**kwargs)
 
 
 class ChannelWiseLayerNorm(nn.Module):

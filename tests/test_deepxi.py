@@ -180,6 +180,54 @@ def test_inp_tgt_family(rng):
         assert np.all(np.isfinite(np.asarray(y))), kind
 
 
+def test_deepxi_normalisation_family(rng):
+    """SeqCausal/Seq/Frame layer norms vs a direct numpy transcription of
+    DeepXi/deepxi/normalisation.py (including the per-frame-running-mean
+    deviation quirk at :57-59 and output seq masking)."""
+    from se_tpu.nn import (FrameLayerNorm, SeqCausalLayerNorm, SeqLayerNorm,
+                           deepxi_normalisation)
+
+    b, t, f = 3, 11, 7
+    x = rng.standard_normal((b, t, f)).astype(np.float32)
+    seq_len = np.array([11, 7, 4], np.int32)
+    mask = (np.arange(t)[None] < seq_len[:, None]).astype(np.float32)
+
+    m = SeqCausalLayerNorm()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(seq_len))
+    out = np.asarray(m.apply(v, jnp.asarray(x), jnp.asarray(seq_len)))
+    den = (np.arange(1, t + 1) * f).astype(np.float32)
+    mu = np.cumsum(x.sum(-1), -1) / den  # (B, T)
+    sigma = np.cumsum(((x - mu[..., None]) ** 2).sum(-1), -1) / den
+    ref = (x - mu[..., None]) / np.sqrt(sigma[..., None] + 1e-12)
+    ref *= mask[..., None]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # Causality: frames >= t0 cannot affect outputs < t0.
+    x2 = x.copy()
+    x2[:, 6:] += rng.standard_normal((b, t - 6, f)).astype(np.float32)
+    out2 = np.asarray(m.apply(v, jnp.asarray(x2), jnp.asarray(seq_len)))
+    np.testing.assert_allclose(out2[:, :6], out[:, :6], rtol=1e-5, atol=1e-6)
+
+    m = SeqLayerNorm()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(seq_len))
+    out = np.asarray(m.apply(v, jnp.asarray(x), jnp.asarray(seq_len)))
+    den2 = mask.sum(1)[:, None, None] * f
+    mean = (x * mask[..., None]).sum((1, 2))[:, None, None] / den2
+    var = (((x - mean) ** 2) * mask[..., None]).sum((1, 2))[:, None, None] / den2
+    ref = (x - mean) / np.sqrt(var + 1e-12) * mask[..., None]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    m = FrameLayerNorm()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(m.apply(v, jnp.asarray(x)))
+    mu = x.mean(-1, keepdims=True)
+    ref = (x - mu) / np.sqrt(x.var(-1, keepdims=True) + 1e-12)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    assert isinstance(deepxi_normalisation("FrameLayerNorm"), FrameLayerNorm)
+    with pytest.raises(ValueError):
+        deepxi_normalisation("NoSuchNorm")
+
+
 @pytest.mark.parametrize("causal", [True, False])
 def test_mhanet_masks_padded_frames(rng, causal):
     """MHANet excludes zero-padded frames from attention
