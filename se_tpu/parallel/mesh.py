@@ -76,12 +76,19 @@ def active_mesh() -> Mesh | None:
 
 def shard_activation(x, *spec):
     """with_sharding_constraint(x, P(*spec)) if a mesh with those axes is
-    active; identity otherwise. Unknown axis names degrade to None."""
+    active; identity otherwise. Unknown axis names — and axes whose dimension
+    is not divisible by the mesh axis size (XLA requires even partitions) —
+    degrade to None."""
     mesh = _ACTIVE_MESH.get()
     if mesh is None:
         return x
-    cleaned = tuple(s if (s is None or s in mesh.axis_names) else None
-                    for s in spec)
+
+    def keep(dim: int, s):
+        if s is None or s not in mesh.axis_names:
+            return None
+        return s if x.shape[dim] % mesh.shape[s] == 0 else None
+
+    cleaned = tuple(keep(i, s) for i, s in enumerate(spec))
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*cleaned))
     )

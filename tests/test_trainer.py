@@ -56,6 +56,29 @@ def test_data_parallel_step_matches_single(rng):
     np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
 
 
+def test_model_sharded_uformer_step_matches_single(rng):
+    """The (data x model) mesh path (Uformer attention folds sharded over the
+    'model' axis — the dryrun_multichip configuration) must be numerically
+    equivalent to the single-device step."""
+    from se_tpu.parallel import activation_mesh
+
+    assert len(jax.devices()) == 8
+    batch = _toy_batch(rng, b=4, n=2560)
+    cfg = TrainConfig(model="uformer", learning_rate=1e-3)
+    _, init_fn, step_fn, _ = make_train_step(cfg)
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    _, loss_single = step_fn(state, batch)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    _, init_fn2, step_fn2, _ = make_train_step(cfg, mesh=mesh)
+    with activation_mesh(mesh):
+        sharded = shard_batch(batch, mesh)
+        state2 = init_fn2(jax.random.PRNGKey(0), sharded)
+        _, loss_tp = step_fn2(state2, sharded)
+    np.testing.assert_allclose(float(loss_tp), float(loss_single),
+                               rtol=2e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from se_tpu.train.checkpoint import (
         parse_epoch_step,
