@@ -8,11 +8,12 @@ alignment with recursive utterance splitting, the Bark-spectrum/loudness
 psychoacoustic model with bad-interval realignment, and the P.862.1 /
 P.862.2 MOS-LQO mappings.
 
-Validation available in this environment (no reference PESQ binary/package):
-identity inputs score the algorithm maximum (wb MOS-LQO ~= 4.64), scores
-degrade monotonically with noise, and constant-delay inputs are realigned
-(tests/test_pesq.py). Treat absolute third-party comparisons as round-2
-validation work.
+Validation: cross-validated against a literal numpy transliteration of the
+reference pesq.m (tests/matlab_pesq.py) over a condition matrix — SNR
+sweeps, constant delay, clipping, lowpass, gain mismatch, both 8 k and
+16 k modes — agreeing to ~1e-9 MOS (tests/test_pesq_oracle.py). Behavioral
+tests (identity maximum wb ~4.64, monotonicity, delay realignment) live in
+tests/test_pesq.py.
 
 Usage:
     from se_tpu.eval.pesq import pesq
