@@ -26,13 +26,23 @@ HASPI v1 = logistic( -9.047 + 14.817 c + 0.0 a_low + 0.0 a_mid
                      + 4.616 a_high ) over cepstral correlation c and
 three-level auditory coherence.
 
-Documented simplifications vs the MATLAB distribution: the control-path
-level that sets signal bandwidth is utterance-averaged rather than
-instantaneous, the BM/envelope paths share one compressive gain, and input
-alignment is a single full-utterance lag. Like the in-repo PESQ, this is
-validated behaviorally (identity scores ~1, monotone degradation with SNR,
-silence robustness) — no oracle exists in this environment; scores should
-be used for relative comparisons.
+Fidelity vs the Kates & Arehart MATLAB distribution (round 2 upgrade):
+- OHC compression gain is INSTANTANEOUS, computed per sample from the
+  control-path envelope (clipped to the [knee, upper] range) and smoothed
+  with a 1st-order 800 Hz lowpass, then applied multiplicatively to both
+  the envelope and BM paths — the eb_EnvCompressBasic structure. (The
+  MATLAB model applies the same smoothed gain to both paths; "shared gain"
+  is the reference behavior, not a shortcut.)
+- signal-path bandwidth broadening uses the control envelope's utterance
+  RMS level, as eb_BWadjust does (bandwidth adjustment IS utterance-level
+  in the reference model).
+- input alignment is a single full-utterance lag — also the reference
+  behavior (eb_EarModel aligns once).
+Remaining simplification: no IHC firing-rate adaptation stage
+(eb_IHCadapt) — a smoothing nonlinearity that mostly cancels between ref
+and proc in the correlation measures. No numeric oracle exists in this
+image (the Kates code is not redistributable); validation is behavioral,
+including hearing-loss audiogram cases (tests/test_hasqi.py).
 """
 
 from __future__ import annotations
@@ -155,6 +165,18 @@ def _one_pole(x: np.ndarray, r: float) -> np.ndarray:
     return y
 
 
+def _lp1(x: np.ndarray, fc: float) -> np.ndarray:
+    """1st-order butterworth lowpass (bilinear) — the gain smoother of
+    eb_EnvCompressBasic (800 Hz)."""
+    from math import pi, tan
+
+    wc = tan(pi * fc / _FS)
+    b0 = wc / (1.0 + wc)
+    a1 = (wc - 1.0) / (wc + 1.0)
+    ff = b0 * (x + np.concatenate([[0.0], x[:-1]]))
+    return np.real(_one_pole(ff, -a1))
+
+
 def _env_db(env: np.ndarray, level1: float) -> np.ndarray:
     """Envelope magnitude -> dB re the level1 calibration (65 dB SPL ~ RMS 1)."""
     small = 1e-30
@@ -214,21 +236,23 @@ def ear_model(ref: np.ndarray, proc: np.ndarray, fs: int,
         for name, sig in (("ref", ref), ("proc", proc)):
             # control path: maximally broadened filter estimates the level
             c_env, _ = _gammatone(sig, cfs[k], bw_factor=4.0)
-            c_db = _env_db(c_env, level1)
-            # level-dependent signal bandwidth: 1x at/below knee -> 2x at
-            # the upper limit
-            mean_c = float(np.mean(c_db))
-            bw = 1.0 + np.clip((mean_c - knee) / (upper - knee), 0.0, 1.0)
+            # signal-path bandwidth from the control RMS level
+            # (eb_BWadjust: utterance-level by construction)
+            c_rms = float(np.sqrt(np.mean(c_env**2)))
+            c_rms_db = level1 + 20.0 * np.log10(max(c_rms, 1e-30))
+            bw = 1.0 + np.clip((c_rms_db - 50.0) / 50.0, 0.0, 1.0)
             s_env, s_bm = _gammatone(sig, cfs[k], bw_factor=bw)
-            s_db = _env_db(s_env, level1)
-            # OHC compression (gain in dB applied above the knee)
-            gain = -attn_ohc[k] - (1.0 - 1.0 / cr[k]) * np.maximum(
-                0.0, c_db - knee)
-            out_db = np.maximum(0.0, s_db + gain - attn_ihc[k])
+            # OHC compression: INSTANTANEOUS gain from the control
+            # envelope, clipped to [knee, upper], smoothed at 800 Hz and
+            # applied to both paths (eb_EnvCompressBasic structure)
+            c_db = np.clip(_env_db(c_env, level1), knee, upper)
+            gain_db = -attn_ohc[k] - (1.0 - 1.0 / cr[k]) * (c_db - knee)
+            gain = _lp1(10.0 ** (gain_db / 20.0), 800.0)
+            env_c = gain * s_env
+            out_db = np.maximum(
+                0.0, _env_db(env_c, level1) - attn_ihc[k])
             env_db[name].append(out_db)
-            # BM vibration with the same compressive gain (linear scale)
-            bm = s_bm * 10.0 ** (gain / 20.0)
-            bm_seg[name].append(bm)
+            bm_seg[name].append(gain * s_bm)
 
     ref_env = np.stack(env_db["ref"])
     proc_env = np.stack(env_db["proc"])

@@ -19,8 +19,15 @@ from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
-from se_tpu.nn.conv import Conv2d, ConvTranspose2d
+from se_tpu.nn.conv import (
+    ConvParams,
+    DenseParams,
+    _pair,
+    interleave_complex_bias,
+    interleave_complex_kernel,
+)
 from se_tpu.nn.recurrent import LSTM
 
 
@@ -53,23 +60,23 @@ class ComplexConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        re, im = split_complex(x)
+        # channels already carry [re | im]: ONE interleaved conv dispatch
+        # with the block kernel [[Wr, Wi], [-Wi, Wr]] (see
+        # conv.interleave_complex_kernel) — same FLOPs, 1 dispatch, doubled
+        # K/N dims for the MXU; param tree matches two Conv2d children.
         half = self.features // 2
-        conv_r = Conv2d(half, self.kernel_size, self.strides,
-                        padding=tuple(tuple(p) for p in self.padding_tf),
-                        name="real_conv")
-        conv_i = Conv2d(half, self.kernel_size, self.strides,
-                        padding=tuple(tuple(p) for p in self.padding_tf),
-                        name="imag_conv")
-        # re/im stacked on the batch axis: one conv per weight (2 dispatches
-        # instead of 4); conv is linear per batch item -> identical results
-        b = re.shape[0]
-        z = jnp.concatenate([re, im], axis=0)
-        zr = conv_r(z)
-        zi = conv_i(z)
-        out_re = zr[:b] - zi[b:]
-        out_im = zi[:b] + zr[b:]
-        return merge_complex(out_re, out_im)
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1] // 2
+        kshape = (kh, kw, cin, half)
+        kr, br = ConvParams(kshape, name="real_conv")()
+        ki, bi = ConvParams(kshape, name="imag_conv")()
+        w = interleave_complex_kernel(kr, ki)
+        out = lax.conv_general_dilated(
+            x, w.astype(x.dtype),
+            window_strides=tuple(_pair(self.strides)),
+            padding=tuple(tuple(p) for p in self.padding_tf),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + interleave_complex_bias(br, bi).astype(out.dtype)
 
 
 class ComplexConvTranspose2d(nn.Module):
@@ -83,23 +90,25 @@ class ComplexConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        re, im = split_complex(x)
         half = self.features // 2
-        conv_r = ConvTranspose2d(half, self.kernel_size, self.strides,
-                                 padding=self.padding,
-                                 output_padding=self.output_padding,
-                                 name="real_conv")
-        conv_i = ConvTranspose2d(half, self.kernel_size, self.strides,
-                                 padding=self.padding,
-                                 output_padding=self.output_padding,
-                                 name="imag_conv")
-        b = re.shape[0]
-        z = jnp.concatenate([re, im], axis=0)  # batch-stacked, see ComplexConv2d
-        zr = conv_r(z)
-        zi = conv_i(z)
-        out_re = zr[:b] - zi[b:]
-        out_im = zi[:b] + zr[b:]
-        return merge_complex(out_re, out_im)
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        cin = x.shape[-1] // 2
+        kshape = (kh, kw, cin, half)
+        kr, br = ConvParams(kshape, transpose=True, name="real_conv")()
+        ki, bi = ConvParams(kshape, transpose=True, name="imag_conv")()
+        # interleaved single dispatch; ConvTranspose2d geometry
+        w = jnp.flip(interleave_complex_kernel(kr, ki), axis=(0, 1))
+        out = lax.conv_general_dilated(
+            x, w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oph),
+                     (kw - 1 - pw, kw - 1 - pw + opw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + interleave_complex_bias(br, bi).astype(out.dtype)
 
 
 class NaiveComplexLSTM(nn.Module):
@@ -139,13 +148,18 @@ class ComplexDense(nn.Module):
 
     @nn.compact
     def __call__(self, re: jnp.ndarray, im: jnp.ndarray):
-        dense_r = nn.Dense(self.features, use_bias=self.use_bias, name="linear_real")
-        dense_i = nn.Dense(self.features, use_bias=self.use_bias, name="linear_imag")
-        # leading-axis stacking: one matmul per weight (see ComplexConv2d)
-        z = jnp.concatenate([re, im], axis=0)
-        b = re.shape[0]
-        zr = dense_r(z)
-        zi = dense_i(z)
-        out_re = zr[:b] - zi[b:]
-        out_im = zi[:b] + zr[b:]
-        return out_re, out_im
+        # ONE interleaved matmul on channel-concat [re | im] with the block
+        # weight [[Wr, Wi], [-Wi, Wr]]; param tree matches two nn.Dense.
+        cin = re.shape[-1]
+        kr, br = DenseParams(self.features, self.use_bias,
+                             name="linear_real")(cin)
+        ki, bi = DenseParams(self.features, self.use_bias,
+                             name="linear_imag")(cin)
+        w = jnp.concatenate([
+            jnp.concatenate([kr, ki], axis=-1),
+            jnp.concatenate([-ki, kr], axis=-1)], axis=0)  # (2cin, 2cout)
+        x = jnp.concatenate([re, im], axis=-1)
+        out = x @ w.astype(x.dtype)
+        if self.use_bias:
+            out = out + jnp.concatenate([br - bi, br + bi]).astype(out.dtype)
+        return out[..., : self.features], out[..., self.features :]

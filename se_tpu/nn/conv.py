@@ -43,6 +43,58 @@ def _pair(v) -> tuple[int, int]:
 Padding = Any  # "VALID" | ((t_lo, t_hi), (f_lo, f_hi))
 
 
+class ConvParams(nn.Module):
+    """Parameter holder with Conv2d/ConvTranspose2d's exact tree
+    ({kernel (kh,kw,cin,cout), bias}) and torch init conventions, for layers
+    that combine several kernels into one dispatch (interleaved complex
+    convs) while keeping checkpoint/parity compatibility."""
+
+    kshape: tuple[int, int, int, int]
+    use_bias: bool = True
+    transpose: bool = False  # torch bias fan-in: cout for ConvTranspose2d
+
+    @nn.compact
+    def __call__(self):
+        kh, kw, cin, cout = self.kshape
+        kernel = self.param("kernel", torch_conv_kernel_init, self.kshape)
+        bias = None
+        if self.use_bias:
+            fan = kh * kw * (cout if self.transpose else cin)
+            bias = self.param("bias", _torch_bias_init(fan), (cout,))
+        return kernel, bias
+
+
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree and default inits."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,))
+        return kernel, bias
+
+
+def interleave_complex_kernel(kr, ki):
+    """Block kernel for a single-dispatch complex conv on channel-concat
+    [re | im] input: out[..., :cout] = conv_r(re) - conv_i(im),
+    out[..., cout:] = conv_i(re) + conv_r(im). Shape (kh, kw, 2cin, 2cout)."""
+    top = jnp.concatenate([kr, ki], axis=-1)      # re rows: (re->re, re->im)
+    bot = jnp.concatenate([-ki, kr], axis=-1)     # im rows: (im->re, im->im)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def interleave_complex_bias(br, bi):
+    """Bias for the block conv: [b_r - b_i, b_r + b_i]."""
+    return jnp.concatenate([br - bi, br + bi])
+
+
 class Conv2d(nn.Module):
     """Plain conv; `padding` is explicit per-axis or "VALID" (torch default)."""
 

@@ -92,6 +92,24 @@ def _lstm_recurrence_chunked(xs: jnp.ndarray, wx, wh, b, chunk: int = 32,
 # the fused in-scan projection.
 _PRECOMPUTE_LIMIT_BYTES = 1 << 30
 
+# Folded-batch threshold for the Pallas fused layer (se_tpu/ops/pallas_lstm):
+# below this the scan path's per-step dispatch is already amortized.
+_PALLAS_LSTM_MIN_BATCH = 1024
+
+
+def _use_pallas_lstm(bsz: int) -> bool:
+    import os
+
+    import jax
+
+    if os.environ.get("SE_TPU_DISABLE_PALLAS_LSTM"):
+        return False
+    if bsz < _PALLAS_LSTM_MIN_BATCH:
+        return False
+    d = jax.devices()[0]
+    return (d.platform in ("tpu", "axon")
+            or "tpu" in getattr(d, "device_kind", "").lower())
+
 
 def lstm_layer(
     x: jnp.ndarray,
@@ -113,6 +131,11 @@ def lstm_layer(
     proj_bytes = bsz * t_len * four_h * 4
     fused = proj_bytes > _PRECOMPUTE_LIMIT_BYTES and carry is None \
         and not return_carry
+
+    if _use_pallas_lstm(bsz) and carry is None and not return_carry:
+        from se_tpu.ops.pallas_lstm import pallas_lstm_layer
+
+        return pallas_lstm_layer(x, wx, wh, b, reverse=reverse)
 
     if fused:
         xs = jnp.swapaxes(x, 0, 1)

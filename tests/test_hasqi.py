@@ -82,3 +82,40 @@ def test_ear_model_shapes(speech):
     assert ref_bm.shape[0] == 32
     assert np.all(np.diff(cfs) > 0)
     assert cfs[0] >= 75.0 and cfs[-1] <= 8001.0
+
+
+# Table C (BASELINE.md) reports rows for hearing-loss profiles; these mirror
+# the standard audiogram shapes used there (250..6000 Hz, dB HL).
+_MILD = np.array([10.0, 15.0, 20.0, 25.0, 30.0, 35.0])
+_MODERATE = np.array([30.0, 35.0, 40.0, 45.0, 50.0, 55.0])
+
+
+@pytest.mark.parametrize("hl,level1", [(_MILD, 65.0), (_MODERATE, 85.0)],
+                         ids=["mild", "moderate"])
+def test_monotone_with_snr_under_hearing_loss(speech, hl, level1):
+    """The quality ordering must survive an impaired ear model. Moderate
+    loss is presented at 85 dB (a 65 dB signal is genuinely inaudible
+    through a 55 dB loss — the model correctly scores it 0)."""
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(len(speech))
+    noise *= np.sqrt(np.mean(speech**2)) / np.sqrt(np.mean(noise**2))
+    scores = [hasqi_v2(speech, speech + noise * 10 ** (-snr / 20.0), FS,
+                       hl=hl, level1=level1)
+              for snr in (30.0, 10.0, 0.0)]
+    assert scores[0] > scores[1] > scores[2], scores
+    q_id = hasqi_v2(speech, speech.copy(), FS, hl=hl, level1=level1)
+    assert q_id > 0.9, q_id
+
+
+def test_mild_vs_moderate_profiles_differ(speech):
+    rng = np.random.default_rng(4)
+    noise = rng.standard_normal(len(speech))
+    noise *= np.sqrt(np.mean(speech**2)) / np.sqrt(np.mean(noise**2))
+    proc = speech + noise * 10 ** (-15.0 / 20.0)
+    q_mild = hasqi_v2(speech, proc, FS, hl=_MILD)
+    q_mod = hasqi_v2(speech, proc, FS, hl=_MODERATE)
+    p_mild = haspi_v1(speech, proc, FS, hl=_MILD)
+    p_mod = haspi_v1(speech, proc, FS, hl=_MODERATE)
+    for v in (q_mild, q_mod, p_mild, p_mod):
+        assert np.isfinite(v) and 0.0 <= v <= 1.0
+    assert q_mild != q_mod

@@ -1,0 +1,53 @@
+"""Pallas fused LSTM layer vs the lax.scan reference path (interpret mode
+on CPU; the real kernel runs on TPU via the same code)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from se_tpu.nn.recurrent import lstm_layer
+from se_tpu.ops.pallas_lstm import pallas_lstm_layer
+
+
+def _weights(rng, in_dim, h):
+    wx = (rng.standard_normal((in_dim, 4 * h)) * 0.2).astype(np.float32)
+    wh = (rng.standard_normal((h, 4 * h)) * 0.2).astype(np.float32)
+    b = (rng.standard_normal((4 * h,)) * 0.1).astype(np.float32)
+    return jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(b)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_lstm_matches_scan(rng, reverse):
+    b, t, in_dim, h = 16, 12, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, t, in_dim)), jnp.float32)
+    wx, wh, bias = _weights(rng, in_dim, h)
+    want = lstm_layer(x, wx, wh, bias, reverse=reverse)
+    got = pallas_lstm_layer(x, wx, wh, bias, reverse=reverse,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6)
+
+
+def test_pallas_lstm_pads_ragged_batch(rng):
+    """Batch not a multiple of the tile: padding rows must not leak."""
+    b, t, in_dim, h = 11, 7, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, t, in_dim)), jnp.float32)
+    wx, wh, bias = _weights(rng, in_dim, h)
+    want = lstm_layer(x, wx, wh, bias)
+    got = pallas_lstm_layer(x, wx, wh, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_pallas_lstm_bf16_weights(rng):
+    """bf16 weights -> bf16 MXU matmuls with fp32 carries, like the scan
+    path; outputs agree with the scan path run on the same bf16 weights."""
+    b, t, in_dim, h = 8, 10, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, t, in_dim)), jnp.bfloat16)
+    wx, wh, bias = (w.astype(jnp.bfloat16)
+                    for w in _weights(rng, in_dim, h))
+    want = lstm_layer(x, wx, wh, bias)
+    got = pallas_lstm_layer(x, wx, wh, bias, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2)
