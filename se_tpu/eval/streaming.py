@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from se_tpu.eval.enhance import _enhance_jit
+from se_tpu.eval.enhance import _enhance_jit, _magphase
 from se_tpu.models.registry import get_model
 from se_tpu.ops.stft import StftConfig, _forward_basis, _inverse_basis, \
     _padded_window
@@ -270,5 +270,199 @@ class LstmStreamer:
             self._frame_pos += k
             drop = self._frame_pos * cfg.hop - lo
             self._pending = self._pending[drop:]
+        out.append(self._emit(self._lpad + n))
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
+# ------------------------------------- exact streaming, conv-recurrent models
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "cfg", "n_frames", "split", "k_out", "compressed", "kind"))
+def _causal_stream_step(model, variables, cfg: StftConfig, samples, carry,
+                        n_frames: int, split: int, k_out: int,
+                        compressed: bool, kind: str):
+    """`samples`: ((n_frames-1)*hop + frame_len,) -> (k_out, frame_len)
+    synthesis frames for the LAST k_out window positions + the carry
+    checkpointed after `split` frames (left-context replay scheme, see
+    CausalStreamer)."""
+    idx = np.arange(n_frames)[:, None] * cfg.hop + \
+        np.arange(cfg.frame_len)[None, :]
+    frames = samples[idx]
+    basis = jnp.asarray(_forward_basis(cfg))
+    spec = jnp.matmul(frames, basis, preferred_element_type=jnp.float32)
+    f = cfg.bins
+    re, im = spec[:, :f], spec[:, f:]
+    mag, phase = _magphase(re, im)
+    if compressed:
+        mag = jnp.sqrt(mag)
+
+    if kind == "mag_mask":
+        est, new_carry = model.apply(variables, mag[None], carry=carry,
+                                     split=split)
+        est = est[0]
+        if compressed:
+            est = jnp.square(est)
+        out_re = est * jnp.cos(phase)
+        out_im = est * jnp.sin(phase)
+    else:  # complex_map (gcrn) / complex_mask (dpcrn)
+        feats = jnp.stack([mag * jnp.cos(phase), mag * jnp.sin(phase)],
+                          axis=-1)
+        est, new_carry = model.apply(variables, feats[None], carry=carry,
+                                     split=split)
+        est = est[0]
+        est_mag, est_phase = _magphase(est[..., 0], est[..., 1])
+        if compressed:
+            est_mag = jnp.square(est_mag)
+        out_re = est_mag * jnp.cos(est_phase)
+        out_im = est_mag * jnp.sin(est_phase)
+
+    out_ri = jnp.concatenate([out_re, out_im], axis=-1)[-k_out:]
+    ibasis = jnp.asarray(_inverse_basis(cfg))
+    synth = jnp.matmul(out_ri, ibasis, preferred_element_type=jnp.float32)
+    return synth, new_carry
+
+
+class CausalStreamer:
+    """Exact streaming decode for the causal conv-recurrent families
+    (crn, gcrn, dpcrn — VERDICT r1 item 9), extending LstmStreamer's
+    state-carrying pattern with LEFT-CONTEXT REPLAY for the causal convs:
+
+    Each chunk runs the model over [R history frames + k new frames].
+    The causal convs' receptive field is R frames (model.replay_frames:
+    crn/dpcrn 10, gcrn 0), so conv outputs at the k new positions are
+    exact. The time-LSTMs carry state exactly: the model's `split` kwarg
+    checkpoints the LSTM state after the first k window frames — which is
+    the state at (next chunk's window start) — while replayed frames'
+    LSTM outputs are recomputed deterministically from that checkpoint.
+
+    Reproduces the offline enhance_waveform decode to float tolerance;
+    algorithmic latency = frame_len + chunk_frames * hop (+ the replay
+    compute, which does not add latency). Per-utterance RMS gain is
+    estimated from the first chunk unless passed (same deviation as
+    LstmStreamer).
+    """
+
+    def __init__(self, name: str, variables, model=None,
+                 compressed: bool = True, chunk_frames: int = 16,
+                 gain: float | None = None):
+        entry = get_model(name)
+        self.cfg = entry.stft
+        self.kind = entry.io_kind
+        self.model = model if model is not None else entry.make()
+        self.r = int(getattr(self.model, "replay_frames", 0))
+        if chunk_frames < self.r:
+            raise ValueError(
+                f"chunk_frames must be >= replay_frames ({self.r})")
+        self.variables = variables
+        self.compressed = compressed
+        self.k = chunk_frames
+        self.gain = gain
+        self.carry = self.model.zero_carry(1)
+        self.name = name
+
+        cfg = self.cfg
+        self._lpad = cfg.fft // 2
+        self._pending = np.zeros(0, np.float32)
+        self._pend_frame = 0      # frame index of _pending[0]'s frame
+        self._started = False
+        self._frame_pos = 0       # next NEW frame index to produce
+        self._n_in = 0
+        self._ola = np.zeros(0, np.float64)
+        self._env = np.zeros(0, np.float64)
+        self._ola_base = 0
+        self._emitted = 0
+        w = _padded_window(cfg)[: cfg.frame_len]
+        self._wsq = (w * w).astype(np.float64)
+        self._tail = np.zeros(0, np.float32)
+
+    # OLA plumbing identical to LstmStreamer
+    _absorb = LstmStreamer._absorb
+    _emit = LstmStreamer._emit
+
+    def _run_chunk(self, pad_tail: int = 0, k_actual: int | None = None):
+        cfg = self.cfg
+        first = self._frame_pos == 0
+        w_start = 0 if first else self._frame_pos - self.r
+        n_frames = self.k if first else self.r + self.k
+        split = self.k - self.r if first else self.k
+        lo = (w_start - self._pend_frame) * cfg.hop
+        need = (n_frames - 1) * cfg.hop + cfg.frame_len
+        chunk = self._pending[lo : lo + need]
+        if len(chunk) < need:
+            chunk = np.pad(chunk, (0, need - len(chunk)))
+        synth, self.carry = _causal_stream_step(
+            self.model, self.variables, cfg, jnp.asarray(chunk), self.carry,
+            n_frames, split, self.k, self.compressed, self.kind)
+        k_keep = self.k if k_actual is None else k_actual
+        self._absorb(np.asarray(synth[:k_keep], np.float64), self._frame_pos)
+        self._frame_pos += k_keep
+        # retain replay history: drop pending below (frame_pos - R)
+        keep_from = max(0, self._frame_pos - self.r)
+        drop = (keep_from - self._pend_frame) * cfg.hop
+        if drop > 0:
+            self._pending = self._pending[drop:]
+            self._pend_frame = keep_from
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        samples = np.asarray(samples, np.float32)
+        self._n_in += len(samples)
+        if not self._started:
+            self._head = np.concatenate(
+                [getattr(self, "_head", np.zeros(0, np.float32)), samples])
+            if len(self._head) < self._lpad + 1:
+                return np.zeros(0, np.float32)
+            if self.gain is None:
+                e = np.sum(np.square(self._head))
+                self.gain = float(np.sqrt(len(self._head) / max(e, 1e-12)))
+            head = self._head * self.gain
+            self._pending = np.concatenate(
+                [head[1 : self._lpad + 1][::-1], head])
+            self._tail = head[-(self._lpad + 1):]
+            self._started = True
+            del self._head
+        else:
+            gained = samples * self.gain
+            self._pending = np.concatenate([self._pending, gained])
+            self._tail = np.concatenate(
+                [self._tail, gained])[-(self._lpad + 1):]
+
+        cfg = self.cfg
+        out = []
+        while True:
+            # frames [frame_pos, frame_pos+k) need samples up to:
+            need_abs = (self._frame_pos + self.k - 1) * cfg.hop \
+                + cfg.frame_len
+            have_abs = self._pend_frame * cfg.hop + len(self._pending)
+            if have_abs < need_abs:
+                break
+            self._run_chunk()
+            out.append(self._emit(self._frame_pos * cfg.hop))
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def flush(self) -> np.ndarray:
+        cfg = self.cfg
+        if not self._started:
+            from se_tpu.eval.enhance import enhance_waveform
+            buf = getattr(self, "_head", np.zeros(0, np.float32))
+            if len(buf) == 0:
+                return np.zeros(0, np.float32)
+            return enhance_waveform(self.name, self.variables, buf,
+                                    compressed=self.compressed,
+                                    model=self.model)
+        n = self._n_in
+        total_frames = 1 + n // cfg.hop
+        t = self._tail
+        refl = t[-2 : -2 - self._lpad : -1] if len(t) >= 2 \
+            else np.zeros(0, np.float32)
+        if len(refl) < self._lpad:
+            refl = np.pad(refl, (0, self._lpad - len(refl)))
+        self._pending = np.concatenate([self._pending, refl])
+
+        out = []
+        while self._frame_pos < total_frames:
+            k_actual = min(self.k, total_frames - self._frame_pos)
+            self._run_chunk(k_actual=k_actual)
+            out.append(self._emit(min(self._frame_pos * cfg.hop,
+                                      self._lpad + n)))
         out.append(self._emit(self._lpad + n))
         return np.concatenate(out) if out else np.zeros(0, np.float32)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from se_tpu.nn import BatchNorm, Conv2d, ConvTranspose2d, LSTM
+from se_tpu.nn.recurrent import lstm_split
 from se_tpu.ops.stft import PRESET_320
 from se_tpu.models.registry import ModelEntry, register
 from se_tpu.utils import torch_compat as tc
@@ -21,8 +22,17 @@ _DE_CH = (128, 64, 32, 16, 1)
 
 
 class CRN(nn.Module):
+    # frames of exact left-context replay for streaming: 5 causal encoder
+    # convs (kt=2) + 5 causal decoder deconvs (kt=2 with Chomp_T)
+    replay_frames = 10
+
     @nn.compact
-    def __call__(self, mag: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, mag: jnp.ndarray, train: bool = False,
+                 carry=None, split: int | None = None):
+        """carry: optional 2-layer LSTM state for exact streaming decode
+        (se_tpu.eval.streaming); `split` checkpoints the carried state after
+        that many frames (left-context replay). Returns (out, new_carry)
+        when carry is given."""
         x = mag[..., None]  # (B, T, F, 1)
         b, t = x.shape[0], x.shape[1]
 
@@ -36,7 +46,13 @@ class CRN(nn.Module):
 
         # Bottleneck: (B,T,F=4,C=256) -> flatten as torch's (C outer, F inner)
         h = jnp.swapaxes(x, 2, 3).reshape(b, t, 1024)
-        h = LSTM(1024, num_layers=2, name="lstm")(h)
+        lstm = LSTM(1024, num_layers=2, name="lstm")
+        if carry is None:
+            h = lstm(h)
+            new_carry = None
+        else:
+            h, new_carry = lstm_split(lstm, h, carry,
+                                      t if split is None else split)
         x = jnp.swapaxes(h.reshape(b, t, 256, 4), 2, 3)  # back to (B,T,F,C)
 
         for i, ch in enumerate(_DE_CH):
@@ -47,7 +63,12 @@ class CRN(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))
             x = BatchNorm(name=f"de_bn{i}")(x, use_running_average=not train)
             x = nn.elu(x) if i < 4 else nn.softplus(x)
-        return x[..., 0]  # (B, T, F)
+        out = x[..., 0]  # (B, T, F)
+        return out if carry is None else (out, new_carry)
+
+    @staticmethod
+    def zero_carry(batch: int):
+        return LSTM.zero_carry(batch, 1024, 2)
 
 
 def from_reference_state_dict(sd: dict) -> dict:

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from se_tpu.nn import BatchNorm, Conv2d, ConvTranspose2d, LayerNorm, LSTM
+from se_tpu.nn.recurrent import lstm_split
 from se_tpu.ops.stft import PRESET_320
 from se_tpu.models.registry import ModelEntry, register
 from se_tpu.utils import torch_compat as tc
@@ -30,7 +31,10 @@ class DPRNN(nn.Module):
     bottleneck_f: int = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, carry=None, split: int | None = None):
+        """carry: optional 2-layer inter-LSTM state (batch dim B*F) for
+        exact streaming; the intra BiLSTM recurs over frequency only and
+        needs no state. Returns (out, new_carry) when given."""
         b, t, f, c = x.shape
         # intra: fold time into batch, recur over frequency
         h = x.reshape(b * t, f, c)
@@ -42,16 +46,30 @@ class DPRNN(nn.Module):
 
         # inter: fold frequency into batch, recur over time
         h = jnp.swapaxes(intra, 1, 2).reshape(b * f, t, c)
-        h = LSTM(c, num_layers=2, name="inter_rnn")(h)
+        inter = LSTM(c, num_layers=2, name="inter_rnn")
+        if carry is None:
+            h = inter(h)
+            new_carry = None
+        else:
+            h, new_carry = lstm_split(inter, h, carry,
+                                      t if split is None else split)
         h = nn.Dense(c, name="inter_fc")(h)
         h = jnp.swapaxes(h.reshape(b, f, t, c), 1, 2)
         h = LayerNorm(ndims=2, name="ln2")(h)
-        return h + intra
+        out = h + intra
+        return out if carry is None else (out, new_carry)
 
 
 class DPCRN(nn.Module):
+    # 5 causal encoder convs (kt=2) + 5 causal decoder deconvs (Chomp_T)
+    replay_frames = 10
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 carry=None, split: int | None = None):
+        """carry: optional (first_pass, second_pass) pair of inter-LSTM
+        states (shared weights, separate states — the block is applied
+        twice) for exact streaming; returns (out, new_carry) when given."""
         inpt = x
         skips = []
         for i, ch in enumerate(_EN_CH):
@@ -62,8 +80,14 @@ class DPCRN(nn.Module):
             skips.append(x)
 
         dprnn = DPRNN(name="dprnn")
-        x = dprnn(x)
-        x = dprnn(x)  # shared weights, applied twice (ref DPCRN.py:27-28)
+        if carry is None:
+            x = dprnn(x)
+            x = dprnn(x)  # shared weights, applied twice (ref DPCRN.py:27-28)
+            new_carry = None
+        else:
+            x, nc1 = dprnn(x, carry=carry[0], split=split)
+            x, nc2 = dprnn(x, carry=carry[1], split=split)
+            new_carry = (nc1, nc2)
 
         for i, ch in enumerate(_DE_CH):
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
@@ -79,7 +103,14 @@ class DPCRN(nn.Module):
         in_r, in_i = inpt[..., 0], inpt[..., 1]
         enh_r = in_r * mask_r - in_i * mask_i
         enh_i = in_r * mask_i + in_i * mask_r
-        return jnp.stack([enh_r, enh_i], axis=-1)
+        est = jnp.stack([enh_r, enh_i], axis=-1)
+        return est if carry is None else (est, new_carry)
+
+    @staticmethod
+    def zero_carry(batch: int, channels: int = 128, bottleneck_f: int = 4):
+        # inter-LSTM batch dim is B*F at the bottleneck
+        z = lambda: LSTM.zero_carry(batch * bottleneck_f, channels, 2)
+        return (z(), z())
 
 
 def from_reference_state_dict(sd: dict) -> dict:

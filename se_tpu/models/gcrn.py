@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from se_tpu.nn import BatchNorm, GluConv2d, GluConvTranspose2d, LayerNorm, LSTM
+from se_tpu.nn.recurrent import lstm_split
 from se_tpu.ops.stft import PRESET_320
 from se_tpu.models.registry import ModelEntry, register
 from se_tpu.utils import torch_compat as tc
@@ -31,14 +32,27 @@ class GLSTM(nn.Module):
     groups: int = 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, carry=None, split: int | None = None):
+        """carry: optional [stage1 x groups, stage2 x groups] list of
+        single-layer LSTM carries for exact streaming; returns
+        (out, new_carry) when given."""
         b, t, f, c = x.shape
         h_t = self.hidden // self.groups
         out = jnp.swapaxes(x, 2, 3).reshape(b, t, c * f)
+        if split is None:
+            split = t
+        new_carry = []
+
+        def run(lstm, h, idx):
+            if carry is None:
+                return lstm(h)
+            y, nc = lstm_split(lstm, h, carry[idx], split)
+            new_carry.append(nc)
+            return y
 
         chunks = jnp.split(out, self.groups, axis=-1)
         ys = [
-            LSTM(h_t, num_layers=1, name=f"lstm1_{i}")(chunks[i])
+            run(LSTM(h_t, num_layers=1, name=f"lstm1_{i}"), chunks[i], i)
             for i in range(self.groups)
         ]
         # torch: stack(dim=-1) then flatten -> interleave group outputs
@@ -47,19 +61,27 @@ class GLSTM(nn.Module):
 
         chunks = jnp.split(out, self.groups, axis=-1)
         ys = [
-            LSTM(h_t, num_layers=1, name=f"lstm2_{i}")(chunks[i])
+            run(LSTM(h_t, num_layers=1, name=f"lstm2_{i}"), chunks[i],
+                self.groups + i)
             for i in range(self.groups)
         ]
         out = jnp.concatenate(ys, axis=-1)
         out = LayerNorm(name="ln2")(out)
 
         out = out.reshape(b, t, c, f)
-        return jnp.swapaxes(out, 2, 3)
+        out = jnp.swapaxes(out, 2, 3)
+        return out if carry is None else (out, new_carry)
 
 
 class GCRN(nn.Module):
+    # all convs have time kernel 1: streaming needs no conv replay at all
+    replay_frames = 0
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 carry=None, split: int | None = None):
+        """carry: optional GLSTM state list (4 single-layer LSTM carries)
+        for exact streaming decode; returns (out, new_carry) when given."""
         skips = []
         for i, ch in enumerate(_EN_CH):
             x = GluConv2d(ch, (1, 3), strides=(1, 2), name=f"conv{i}")(x)
@@ -67,7 +89,11 @@ class GCRN(nn.Module):
             x = nn.elu(x)
             skips.append(x)
 
-        out = GLSTM(name="glstm")(x)
+        if carry is None:
+            out = GLSTM(name="glstm")(x)
+            new_carry = None
+        else:
+            out, new_carry = GLSTM(name="glstm")(x, carry=carry, split=split)
         out = jnp.concatenate([out, skips[4]], axis=-1)
 
         def decoder(tag: str) -> jnp.ndarray:
@@ -89,7 +115,15 @@ class GCRN(nn.Module):
 
         real = decoder("1")
         imag = decoder("2")
-        return jnp.stack([real, imag], axis=-1)  # (B, T, F, 2)
+        est = jnp.stack([real, imag], axis=-1)  # (B, T, F, 2)
+        return est if carry is None else (est, new_carry)
+
+    @staticmethod
+    def zero_carry(batch: int, hidden: int = 1024, groups: int = 2):
+        h_t = hidden // groups
+        # one single-layer LSTM carry (list of 1 (h, c) tuple) per group
+        # and stage: [stage1 g0, stage1 g1, stage2 g0, stage2 g1]
+        return [LSTM.zero_carry(batch, h_t, 1) for _ in range(2 * groups)]
 
 
 def from_reference_state_dict(sd: dict) -> dict:

@@ -215,3 +215,23 @@ class LSTM(nn.Module):
         z = lambda: (jnp.zeros((batch, features), jnp.float32),
                      jnp.zeros((batch, features), jnp.float32))
         return [z() for _ in range(num_layers)]
+
+
+def lstm_split(lstm: "LSTM", h: jnp.ndarray, carry, split: int):
+    """Run `lstm` over h (B, T, D) from `carry`, CHECKPOINTING the state
+    after `split` frames while still emitting outputs for every frame.
+
+    Streaming decode with left-context replay (se_tpu.eval.streaming): a
+    chunk's window replays R history frames whose outputs are recomputed
+    exactly from the checkpointed state; the state to carry forward is the
+    one at (window_end - R), i.e. after the first `split` frames.
+    """
+    t = h.shape[1]
+    if split >= t:
+        return lstm(h, carry=carry)
+    if split <= 0:
+        out, _ = lstm(h, carry=carry)
+        return out, carry
+    o1, c_mid = lstm(h[:, :split], carry=carry)
+    o2, _ = lstm(h[:, split:], carry=c_mid)
+    return jnp.concatenate([o1, o2], axis=1), c_mid
