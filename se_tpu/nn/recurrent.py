@@ -132,7 +132,8 @@ def lstm_layer(
     fused = proj_bytes > _PRECOMPUTE_LIMIT_BYTES and carry is None \
         and not return_carry
 
-    if _use_pallas_lstm(bsz) and carry is None and not return_carry:
+    if (_use_pallas_lstm(bsz) and t_len >= 16 and carry is None
+            and not return_carry):
         from se_tpu.ops.pallas_lstm import pallas_lstm_layer
 
         return pallas_lstm_layer(x, wx, wh, b, reverse=reverse)

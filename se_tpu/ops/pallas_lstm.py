@@ -88,6 +88,64 @@ def _pallas_lstm_tm(x, wx, wh, b, batch_tile: int, interpret: bool):
     )(x, wx, wh, b.reshape(1, -1))
 
 
+def _scan_forward(x, wx, wh, b):
+    """lax.scan reference of the same layer (forward direction), used as
+    the differentiation path: the custom VJP recomputes it in backward."""
+    xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
+    xp = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
+    h_dim = wh.shape[0]
+    bsz = x.shape[0]
+    carry = (jnp.zeros((bsz, h_dim), jnp.float32),
+             jnp.zeros((bsz, h_dim), jnp.float32))
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.matmul(h.astype(wh.dtype), wh,
+                                preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, carry, xp)
+    return jnp.swapaxes(ys, 0, 1).astype(x.dtype)
+
+
+def _pallas_forward(x, wx, wh, b, interpret: bool):
+    bsz = x.shape[0]
+    in_dim = wx.shape[0]
+    h_dim = wh.shape[0]
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, In)
+    tile = _pick_batch_tile(bsz, in_dim, h_dim)
+    if interpret:
+        tile = min(tile, max(8, 8 * ((bsz + 7) // 8)))
+    pad = (-bsz) % tile
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+    ys = _pallas_lstm_tm(xs, wx, wh, b, batch_tile=tile, interpret=interpret)
+    return jnp.swapaxes(ys[:, :bsz], 0, 1)
+
+
+@functools.lru_cache(maxsize=4)
+def _fused(interpret: bool):
+    """custom-VJP wrapper: Pallas forward, scan-reference backward (the
+    kernel defines no transpose rule; training paths differentiate this)."""
+
+    @jax.custom_vjp
+    def f(x, wx, wh, b):
+        return _pallas_forward(x, wx, wh, b, interpret)
+
+    def fwd(x, wx, wh, b):
+        return _pallas_forward(x, wx, wh, b, interpret), (x, wx, wh, b)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(_scan_forward, *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _pick_batch_tile(bf: int, in_dim: int, h_dim: int) -> int:
     """Largest tile from a ladder that keeps VMEM modest; Bf is padded up
     to a multiple of the tile."""
@@ -106,21 +164,9 @@ def pallas_lstm_layer(x, wx, wh, b, reverse: bool = False,
     scan path when no carry is needed. Pads the batch to a tile multiple."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    bsz, t_len, _ = x.shape
-    in_dim = wx.shape[0]
-    h_dim = wh.shape[0]
-    xs = jnp.swapaxes(x, 0, 1)  # (T, B, In)
     if reverse:
-        xs = jnp.flip(xs, axis=0)
-    tile = _pick_batch_tile(bsz, in_dim, h_dim)
-    if interpret:
-        tile = min(tile, max(8, 8 * ((bsz + 7) // 8)))
-    pad = (-bsz) % tile
-    if pad:
-        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
-    ys = _pallas_lstm_tm(xs, wx, wh, b, batch_tile=tile,
-                         interpret=interpret)
-    ys = ys[:, :bsz]
+        x = jnp.flip(x, axis=1)
+    ys = _fused(bool(interpret))(x, wx, wh, b)
     if reverse:
-        ys = jnp.flip(ys, axis=0)
-    return jnp.swapaxes(ys, 0, 1)
+        ys = jnp.flip(ys, axis=1)
+    return ys

@@ -51,3 +51,26 @@ def test_pallas_lstm_bf16_weights(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2)
+
+
+def test_pallas_lstm_grad_matches_scan(rng):
+    """The custom VJP (scan-reference backward) gives the same gradients
+    as differentiating the scan path directly."""
+    import jax
+
+    b, t, in_dim, h = 8, 6, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, t, in_dim)), jnp.float32)
+    wx, wh, bias = _weights(rng, in_dim, h)
+
+    def loss_pallas(wx, wh, bias):
+        return jnp.sum(pallas_lstm_layer(x, wx, wh, bias,
+                                         interpret=True) ** 2)
+
+    def loss_scan(wx, wh, bias):
+        return jnp.sum(lstm_layer(x, wx, wh, bias) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(wx, wh, bias)
+    g2 = jax.grad(loss_scan, argnums=(0, 1, 2))(wx, wh, bias)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-4, rtol=1e-4)
