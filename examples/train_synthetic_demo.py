@@ -63,7 +63,14 @@ def main():
     clean_tr, mix_tr = make_set(rng, N_TRAIN)
     clean_te, mix_te = make_set(np.random.default_rng(1), N_TEST)
 
-    cfg = TrainConfig(model=name, learning_rate=lr)
+    if name == "dccrn_snr":
+        # the SNR-trained DCCRN variant (ref DCCRN_SNR/Backup.py:140-147)
+        name = "dccrn"
+        cfg = TrainConfig(model="dccrn", loss="fusion_snr",
+                          learning_rate=lr,
+                          model_kwargs={"snr_variant": True})
+    else:
+        cfg = TrainConfig(model=name, learning_rate=lr)
     model, init_fn, step_fn, eval_fn = make_train_step(cfg)
     frames = num_frames(N, get_model(name).stft)
 

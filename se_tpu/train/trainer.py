@@ -175,6 +175,21 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         est, new_vars = apply(spec)
         if loss_name == "stagewise_com_mag_mse":
             loss = L.stagewise_com_mag_mse_loss(list(est), lspec, frames)
+        elif loss_name == "fusion_snr":
+            # DCCRN_SNR recipe: 0.5*SI-SNR + 0.5*SV-SNR on reconstructed
+            # waveforms (ref DCCRN_SNR/Backup.py:140-147)
+            from se_tpu.ops.stft import istft as _istft
+
+            if est.ndim == 5:
+                est = est[-1]
+            e_re, e_im = est[..., 0], est[..., 1]
+            if cfg.compressed:  # undo the mag**0.5 regime before synthesis
+                e_mag = jnp.sqrt(jnp.maximum(e_re**2 + e_im**2, 1e-12))
+                e_re, e_im = e_mag * e_re, e_mag * e_im
+            n = mix.shape[-1]
+            est_wav = _istft(e_re, e_im, entry.stft, length=n)
+            lengths = jnp.minimum(frames * entry.stft.hop, n)
+            loss = L.fusion_snr_loss(est_wav, clean, lengths)
         else:
             if est.ndim == 5:
                 est = est[-1]

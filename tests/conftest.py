@@ -55,6 +55,7 @@ _SLOW_IDS = {
     "test_remat_matches_plain_step[dots]",
     "test_remat_matches_plain_step[full]",
     "test_loss_decreases[lstm]",
+    "test_dccrn_snr_fusion_snr_loss_decreases",
     "test_loss_decreases[dpcrn]",
     # cli/config sweeps (keep lstm/deepxi param-count as quick reps)
     "test_param_count_matches_published[uformer]",

@@ -165,3 +165,20 @@ def test_bf16_training_tracks_fp32(rng, name):
         assert float(loss) < first  # still learns
     f32, b16 = losses["fp32"][0], losses["bf16"][0]
     assert abs(f32 - b16) / (abs(f32) + 1e-9) < 0.05, losses
+
+
+def test_dccrn_snr_fusion_snr_loss_decreases(rng):
+    """The DCCRN_SNR recipe (waveform fusion SNR loss on the snr_variant
+    decoder crop) trains on a toy problem (VERDICT r1 item 7 plumbing)."""
+    cfg = TrainConfig(model="dccrn", loss="fusion_snr", learning_rate=5e-4,
+                      model_kwargs={"snr_variant": True})
+    model, init_fn, step_fn, eval_fn = make_train_step(cfg)
+    batch = _toy_batch(rng, b=2, n=4096)
+    state = init_fn(jax.random.PRNGKey(0), batch)
+    first = None
+    for _ in range(6):
+        state, loss = step_fn(state, batch)
+        if first is None:
+            first = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < first
