@@ -36,6 +36,7 @@ from se_tpu.nn.conv import (
 )
 from se_tpu.nn.activations import PReLU
 from se_tpu.nn.complex_ops import ComplexDense
+from se_tpu.ops.pallas_attention import sdp_attention
 from se_tpu.ops.stft import PRESET_UFORMER, istft, stft
 from se_tpu.parallel.mesh import shard_activation
 from se_tpu.models.registry import ModelEntry, register
@@ -202,8 +203,9 @@ class SingleAtt(nn.Module):
         q = nn.Dense(self.hidden, name="query")(q)
         k = nn.Dense(self.hidden, name="key")(k)
         v = nn.Dense(self.hidden, name="value")(v)
-        energy = jnp.einsum("nlc,nmc->nlm", q, k) / np.sqrt(self.hidden)
-        return jnp.einsum("nlm,nmc->nlc", nn.softmax(energy, axis=-1), v)
+        out = sdp_attention(q[:, None], k[:, None], v[:, None],
+                            1.0 / np.sqrt(self.hidden))
+        return out[:, 0]
 
 
 class SingleAttProj(nn.Module):
@@ -247,8 +249,7 @@ class ComplexSelfAtt(nn.Module):
         q = jnp.stack(qs, axis=1)  # (N, 8, L, D)
         k = jnp.stack(ks, axis=1)
         v = jnp.stack(vs, axis=1)
-        energy = jnp.einsum("nhld,nhmd->nhlm", q, k) / np.sqrt(self.hidden)
-        out = jnp.einsum("nhlm,nhmd->nhld", nn.softmax(energy, axis=-1), v)
+        out = sdp_attention(q, k, v, 1.0 / np.sqrt(self.hidden))
         a, b, c, d, e, f, g, h = (out[:, j] for j in range(8))
         out_r, out_i = a - b - c - d, e + f + g - h
         ln2 = LayerNorm(name="ln2")
@@ -320,9 +321,78 @@ class RealAxialAtt(nn.Module):
         return h + x
 
 
+class _LNParams(nn.Module):
+    """LayerNorm parameter holder (tree-compatible with nn/norms.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _PReLUParams(nn.Module):
+    """Scalar PReLU parameter holder (tree-compatible with PReLU)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", lambda k, s: jnp.full(s, 0.25), ())
+
+
+class _CConvWeights(nn.Module):
+    """Interleaved complex conv weights with CConvEnc's param tree."""
+
+    kshape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kr, br = ConvParams(self.kshape, name="real_conv")()
+        ki, bi = ConvParams(self.kshape, name="imag_conv")()
+        return (interleave_complex_kernel(kr, ki),
+                interleave_complex_bias(br, bi))
+
+
+class _RConvWeights(nn.Module):
+    """Plain conv weights with RConvEnc's param tree."""
+
+    kshape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return ConvParams(self.kshape, name="conv")()
+
+
+def _dsconv_params(self, c_in: int, cc: int, ncomp: int):
+    """Assemble the fused-kernel 13-tuple from the module's param tree
+    (identical tree to the composed CConvEnc/RConvEnc implementation, so
+    reference weight conversion is unchanged)."""
+    holder = _CConvWeights if ncomp == 2 else _RConvWeights
+    g1, b1 = _LNParams(c_in, name="ln1")()
+    w1, bb1 = holder((1, 1, c_in, cc), name="conv1x1")()
+    alpha = _PReLUParams(name="prelu")()
+    wd1, bd1 = holder((3, 3, cc, cc), name="dconv1")()
+    wd2, bd2 = holder((3, 3, cc, cc), name="dconv2")()
+    g2, b2 = _LNParams(cc, name="ln2")()
+    ws, bs = holder((1, 1, cc, c_in), name="sconv")()
+    tot = ncomp * cc
+    return (g1[None], b1[None],
+            w1.reshape(ncomp * c_in, tot), bb1[None],
+            alpha[None, None],
+            wd1, bd1[None], wd2, bd2[None],
+            g2[None], b2[None],
+            ws.reshape(tot, ncomp * c_in), bs[None])
+
+
 class DSConvCplx(nn.Module):
-    """Gated dilated DSConv block (ref dsconv2d_cplx.py:11-60). Dilation on T,
-    symmetric padding (non-causal), elementwise (per-component) gating."""
+    """Gated dilated DSConv block (ref dsconv2d_cplx.py:11-60). Dilation on
+    T, symmetric padding (non-causal), per-component gating.
+
+    TPU: the whole block (2 LNs, 5 logical convs as interleaved matmuls,
+    both gates, residual) runs as ONE Pallas kernel per batch item in VMEM
+    (se_tpu/ops/pallas_dsconv.py). Train mode (dropout active) uses the
+    jnp reference path so dropout lands between sconv and the residual."""
 
     conv_channels: int = 32
     dilation1: int = 1
@@ -330,28 +400,19 @@ class DSConvCplx(nn.Module):
 
     @nn.compact
     def __call__(self, re, im, deterministic: bool = True):
+        from se_tpu.ops.pallas_dsconv import _reference, dsconv_block
+
         c_in = re.shape[-1]
-        ln1 = LayerNorm(name="ln1")
-        act = PReLU(None, name="prelu")
-        yr, yi = ln1(re), ln1(im)
-        yr, yi = CConvEnc(self.conv_channels, (1, 1), (1, 1),
-                          padding=((0, 0), (0, 0)), name="conv1x1")(yr, yi)
-        yr, yi = act(yr), act(yi)
-        d1, d2 = self.dilation1, self.dilation2
-        a_r, a_i = CConvEnc(self.conv_channels, (3, 3), (1, 1),
-                            padding=((d1, d1), (1, 1)), dilation=(d1, 1),
-                            name="dconv1")(yr, yi)
-        g_r, g_i = CConvEnc(self.conv_channels, (3, 3), (1, 1),
-                            padding=((d2, d2), (1, 1)), dilation=(d2, 1),
-                            name="dconv2")(yr, yi)
-        yr, yi = a_r * nn.sigmoid(g_r), a_i * nn.sigmoid(g_i)
-        ln2 = LayerNorm(name="ln2")
-        yr, yi = ln2(yr), ln2(yi)
-        yr, yi = yr * nn.sigmoid(yr), yi * nn.sigmoid(yi)
-        yr, yi = CConvEnc(c_in, (1, 1), (1, 1),
-                          padding=((0, 0), (0, 0)), name="sconv")(yr, yi)
-        drop = nn.Dropout(0.1, deterministic=deterministic)
-        return re + drop(yr), im + drop(yi)
+        params = _dsconv_params(self, c_in, self.conv_channels, ncomp=2)
+        x = jnp.concatenate([re, im], axis=-1)
+        if deterministic:
+            out = dsconv_block(x, params, self.dilation1, self.dilation2,
+                               ncomp=2)
+        else:
+            ref = _reference(x, params, self.dilation1, self.dilation2, 2)
+            delta = ref - x  # the block's pre-residual output, exactly
+            out = x + nn.Dropout(0.1, deterministic=False)(delta)
+        return out[..., :c_in], out[..., c_in:]
 
 
 class DSConvReal(nn.Module):
@@ -361,25 +422,15 @@ class DSConvReal(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from se_tpu.ops.pallas_dsconv import _reference, dsconv_block
+
         c_in = x.shape[-1]
-        y = LayerNorm(name="ln1")(x)
-        y = RConvEnc(self.conv_channels, (1, 1), (1, 1),
-                     padding=((0, 0), (0, 0)), name="conv1x1")(y)
-        y = PReLU(None, name="prelu")(y)
-        d1, d2 = self.dilation1, self.dilation2
-        a = RConvEnc(self.conv_channels, (3, 3), (1, 1),
-                     padding=((d1, d1), (1, 1)), dilation=(d1, 1),
-                     name="dconv1")(y)
-        g = RConvEnc(self.conv_channels, (3, 3), (1, 1),
-                     padding=((d2, d2), (1, 1)), dilation=(d2, 1),
-                     name="dconv2")(y)
-        y = a * nn.sigmoid(g)
-        y = LayerNorm(name="ln2")(y)
-        y = y * nn.sigmoid(y)
-        y = RConvEnc(c_in, (1, 1), (1, 1), padding=((0, 0), (0, 0)),
-                     name="sconv")(y)
-        y = nn.Dropout(0.1, deterministic=deterministic)(y)
-        return x + y
+        params = _dsconv_params(self, c_in, self.conv_channels, ncomp=1)
+        if deterministic:
+            return dsconv_block(x, params, self.dilation1, self.dilation2,
+                                ncomp=1)
+        ref = _reference(x, params, self.dilation1, self.dilation2, 1)
+        return x + nn.Dropout(0.1, deterministic=False)(ref - x)
 
 
 class DilatedDualpathConformer(nn.Module):

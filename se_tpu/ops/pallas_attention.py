@@ -1,0 +1,93 @@
+"""Fused scaled-dot-product attention for the Uformer axial attentions.
+
+The T-attention folds to (N=B*F, H=8, L~400, D=16). The XLA einsum path
+materializes the (N, H, L, L) energy/softmax tensors in HBM (~660 MB at
+batch 32, read+written several times) even though one head's whole
+attention fits in VMEM (L*L fp32 ~ 650 KB). This kernel runs
+QK^T -> softmax -> AV per (n, h) grid step entirely in VMEM.
+
+Sequence lengths here are short (L <= ~1500 even for 15 s audio), so a
+single-pass kernel is simpler and as fast as streaming flash attention;
+beyond _VMEM_MAX_L we fall back to the einsum path.
+
+Backward runs through the einsum reference via custom VJP (same pattern as
+ops/pallas_lstm.py); numerics match the einsum path to fp32 round-off
+(tests/test_pallas_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_MAX_L = 2048  # (L, L) fp32 energy must fit VMEM comfortably
+_MIN_L = 64  # below this the einsum path has nothing to lose
+
+
+def _reference(q, k, v, scale: float):
+    e = jnp.einsum("nhld,nhmd->nhlm", q, k) * scale
+    p = jax.nn.softmax(e, axis=-1)
+    return jnp.einsum("nhlm,nhmd->nhld", p, v)
+
+
+def _att_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # (L, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    e = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(e, axis=-1, keepdims=True)
+    p = jnp.exp(e - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(p.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _pallas_attention(q, k, v, scale: float, interpret: bool):
+    n, h, l, d = q.shape
+    kernel = functools.partial(_att_kernel, scale=scale)
+    spec = pl.BlockSpec((1, 1, l, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused(scale: float, interpret: bool):
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _pallas_attention(q, k, v, scale, interpret)
+
+    def fwd(q, k, v):
+        return _pallas_attention(q, k, v, scale, interpret), (q, k, v)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, scale), *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def sdp_attention(q, k, v, scale: float, interpret: bool | None = None):
+    """(N, H, L, D) scaled-dot-product attention; fused Pallas kernel on
+    TPU for VMEM-sized L, einsum elsewhere."""
+    l = q.shape[2]
+    if interpret is None:
+        platform = jax.devices()[0].platform
+        on_tpu = platform in ("tpu", "axon")
+        if not on_tpu or l < _MIN_L or l > _VMEM_MAX_L:
+            return _reference(q, k, v, scale)
+        interpret = False
+    return _fused(float(scale), bool(interpret))(q, k, v)
