@@ -106,6 +106,10 @@ def _use_pallas_lstm(bsz: int) -> bool:
         return False
     if bsz < _PALLAS_LSTM_MIN_BATCH:
         return False
+    from se_tpu.parallel.mesh import active_mesh
+
+    if active_mesh() is not None:  # GSPMD cannot partition pallas_call
+        return False
     d = jax.devices()[0]
     return (d.platform in ("tpu", "axon")
             or "tpu" in getattr(d, "device_kind", "").lower())

@@ -34,28 +34,30 @@ def _reference(q, k, v, scale: float):
     return jnp.einsum("nhlm,nhmd->nhld", p, v)
 
 
-def _att_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # (L, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    e = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    m = jnp.max(e, axis=-1, keepdims=True)
-    p = jnp.exp(e - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(p.astype(v.dtype), v,
-                  preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+def _att_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    # all heads of one n handled per program (unrolled: heads is small)
+    for hh in range(heads):
+        q = q_ref[0, hh]  # (L, D)
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        e = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, hh] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _pallas_attention(q, k, v, scale: float, interpret: bool):
     n, h, l, d = q.shape
-    kernel = functools.partial(_att_kernel, scale=scale)
-    spec = pl.BlockSpec((1, 1, l, d), lambda i, j: (i, j, 0, 0),
+    kernel = functools.partial(_att_kernel, scale=scale, heads=h)
+    spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(n, h),
+        grid=(n,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -83,11 +85,16 @@ def _fused(scale: float, interpret: bool):
 def sdp_attention(q, k, v, scale: float, interpret: bool | None = None):
     """(N, H, L, D) scaled-dot-product attention; fused Pallas kernel on
     TPU for VMEM-sized L, einsum elsewhere."""
+    from se_tpu.parallel.mesh import active_mesh
+
     l = q.shape[2]
     if interpret is None:
         platform = jax.devices()[0].platform
         on_tpu = platform in ("tpu", "axon")
-        if not on_tpu or l < _MIN_L or l > _VMEM_MAX_L:
+        # under a sharded mesh GSPMD cannot partition pallas_call: use the
+        # einsum path (it shards fine along the fold axis)
+        if not on_tpu or active_mesh() is not None \
+                or l < _MIN_L or l > _VMEM_MAX_L:
             return _reference(q, k, v, scale)
         interpret = False
     return _fused(float(scale), bool(interpret))(q, k, v)
