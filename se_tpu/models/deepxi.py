@@ -561,10 +561,16 @@ def compute_xi_stats(clean_wavs: Sequence[np.ndarray],
 
 class DeepXi(nn.Module):
     """End-to-end enhancement: STMS -> ResNetV2 -> xi_bar_hat. Use
-    `enhance()` for the full waveform pipeline with a fitted map."""
+    `enhance()` for the full waveform pipeline with a fitted map.
+
+    `network_kwargs` carries the reference's typed network flags
+    (d_model, n_blocks, d_f, k, max_d_rate, unit_type, outp_act, ...
+    — ref args_resnet.py:103-122) through to the selected network, as a
+    hashable tuple of (name, value) pairs (modules are jit-static)."""
 
     network: str = "ResNetV2"
     n_feat: int = 257
+    network_kwargs: tuple = ()
 
     @nn.compact
     def __call__(self, x_stms: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -582,7 +588,8 @@ class DeepXi(nn.Module):
         }
         if self.network not in nets:
             raise ValueError(f"unknown network {self.network!r}")
-        return nets[self.network](n_outp=self.n_feat, name="net")(x_stms)
+        return nets[self.network](n_outp=self.n_feat, name="net",
+                                  **dict(self.network_kwargs))(x_stms)
 
 
 def enhance(variables, model: DeepXi, wav: jnp.ndarray, xi_map: XiMap,

@@ -112,20 +112,100 @@ class Prelim:
         return y_frame, np.asarray(pred[0, 0])
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class DeepXiArgs:
+    """Typed flag surface mirroring the reference's argparse-over-config
+    scheme (ref DeepXi/deepxi/args_resnet.py:31-135 / config_resnet.py).
+
+    Only device/path plumbing specific to the TF stack is dropped (--gpu,
+    saved_data_path); everything that shapes the model, features, map, or
+    run mode is here. `DeepXiDriver.from_args` consumes it.
+    """
+
+    # general (args_resnet.py:35-46)
+    ver: str = "resnet-1.1c"
+    test_epoch: int = 180
+    train: bool = False
+    infer: bool = False
+    test: bool = False
+    network_type: str = "ResNetV2"
+    inp_tgt_type: str = "MagXi"
+    # train (args_resnet.py:48-56)
+    mbatch_size: int = 8
+    sample_size: int = 1000
+    max_epochs: int = 180
+    resume_epoch: int = 0
+    # inference (args_resnet.py:63-69)
+    out_type: str = "y"
+    gain: str = "mmse-lsa"
+    # paths (args_resnet.py:80-89)
+    model_path: str = "./model"
+    set_path: str = "./set"
+    log_path: str = "./log"
+    data_path: str = "./data"
+    out_path: str = "./out"
+    # features (args_resnet.py:92-98)
+    f_s: int = 16000
+    T_d: int = 32
+    T_s: int = 16
+    # network parameters (args_resnet.py:101-122)
+    d_model: int = 256
+    n_blocks: int = 40
+    d_f: int = 64
+    k: int = 3
+    max_d_rate: int = 16
+    causal: bool = True
+    unit_type: str = "ReLU->LN->W+b"
+    loss_fnc: str = "BinaryCrossentropy"
+    outp_act: str = "Sigmoid"
+    # map (args_resnet.py:125-127)
+    map_type: str = "DBNormalCDF"
+
+    def network_kwargs(self) -> tuple:
+        if self.network_type.startswith("ResNet"):
+            return (("d_model", self.d_model), ("n_blocks", self.n_blocks),
+                    ("d_f", self.d_f), ("k", self.k),
+                    ("max_d_rate", self.max_d_rate),
+                    ("outp_act", self.outp_act)) + (
+                (("unit_type", self.unit_type),)
+                if self.network_type != "ResNet" else ())
+        if self.network_type.startswith("MHANet"):
+            return (("d_model", self.d_model), ("n_blocks", self.n_blocks),
+                    ("causal", self.causal), ("outp_act", self.outp_act))
+        return (("d_model", self.d_model), ("n_blocks", self.n_blocks),
+                ("outp_act", self.outp_act))
+
+
 class DeepXiDriver:
     """Minimal-state driver; `ver` names the stats artifact like the
     reference's data/<ver>_inp_tgt.p (ref model.py:84-96)."""
 
     def __init__(self, network: str = "ResNetV2", map_type: str = "DBNormalCDF",
                  gain: str = "mmse-lsa", data_path: str = "./data",
-                 ver: str = "resnet-1.1c"):
-        self.model = DeepXi(network=network)
+                 ver: str = "resnet-1.1c", network_kwargs: tuple = (),
+                 inp_tgt_type: str = "MagXi"):
+        self.model = DeepXi(network=network, network_kwargs=network_kwargs)
         self.gain = gain
         self.data_path = data_path
         self.ver = ver
         self.xi_map = XiMap(map_type)
-        self.inp_tgt = MagXi(self.xi_map)
+        if inp_tgt_type == "MagXi":
+            self.inp_tgt = MagXi(self.xi_map)
+        else:
+            from se_tpu.models.deepxi_inp_tgt import inp_tgt_selector
+
+            self.inp_tgt = inp_tgt_selector(inp_tgt_type, xi=self.xi_map)
         self.variables = None
+
+    @classmethod
+    def from_args(cls, args: "DeepXiArgs") -> "DeepXiDriver":
+        return cls(network=args.network_type, map_type=args.map_type,
+                   gain=args.gain, data_path=args.data_path, ver=args.ver,
+                   network_kwargs=args.network_kwargs(),
+                   inp_tgt_type=args.inp_tgt_type)
 
     # ----------------------------------------------------------- statistics
     def stats_path(self) -> str:
