@@ -28,7 +28,7 @@ import jax.numpy as jnp
 SR = 16000
 
 
-def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
+def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
     from se_tpu.eval.enhance import _enhance_jit
     from se_tpu.models import get_model
     from se_tpu.ops.stft import stft
@@ -55,6 +55,8 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
     # Time `iters` chained runs inside ONE dispatch (lax.fori_loop): with a
     # remote-tunneled runtime, per-call timing measures dispatch and can be
     # short-circuited by response caching; a fused on-device loop cannot.
+    # iters=32: the tunnel adds ~27 ms fixed per dispatch (measured with a
+    # trivial body), so more chained iters = less per-iter bias.
     @jax.jit
     def run_n(w):
         def body(_, carry):
@@ -74,7 +76,7 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 8):
     return audio_seconds / dt
 
 
-def _bench_train(name: str, batch: int, seconds: float, iters: int = 8,
+def _bench_train(name: str, batch: int, seconds: float, iters: int = 16,
                  remat: str = "none"):
     """Training-step throughput (audio-seconds of training data per second)."""
     from se_tpu.train.trainer import TrainConfig, make_train_step

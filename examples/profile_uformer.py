@@ -17,7 +17,7 @@ import jax.numpy as jnp
 B, T, FQ, C = 32, 401, 4, 128  # bottleneck shapes for batch 32 x 4 s
 
 
-def timeit(name, fn, x, iters=8):
+def timeit(name, fn, x, iters=32):
     @jax.jit
     def run_n(v):
         def body(_, carry):
@@ -31,7 +31,7 @@ def timeit(name, fn, x, iters=8):
     t0 = time.perf_counter()
     jax.block_until_ready(run_n(warm))
     dt = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:30s} {dt:8.2f} ms")
+    print(f"{name:30s} {dt:8.2f} ms", flush=True)
     return dt
 
 
@@ -54,7 +54,7 @@ def main():
     model = Uformer()
     vs = model.init(key, wav[:1], wav[:1])
     timeit("uformer full fwd", lambda w: model.apply(vs, w, w)[0],
-           wav, iters=4)
+           wav, iters=16)
 
     # DSConv stack (complex + real, all 16 blocks with fusions)
     class Stack:

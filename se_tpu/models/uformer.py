@@ -377,11 +377,14 @@ def _dsconv_params(self, c_in: int, cc: int, ncomp: int):
     g2, b2 = _LNParams(cc, name="ln2")()
     ws, bs = holder((1, 1, cc, c_in), name="sconv")()
     tot = ncomp * cc
-    return (g1[None], b1[None],
+    # per-component LN params are shared across components: tile them to
+    # the channel-concat width so the kernel sees full-width vectors
+    return (jnp.tile(g1, ncomp)[None], jnp.tile(b1, ncomp)[None],
             w1.reshape(ncomp * c_in, tot), bb1[None],
             alpha[None, None],
-            wd1, bd1[None], wd2, bd2[None],
-            g2[None], b2[None],
+            wd1.reshape(9 * tot, tot), bd1[None],
+            wd2.reshape(9 * tot, tot), bd2[None],
+            jnp.tile(g2, ncomp)[None], jnp.tile(b2, ncomp)[None],
             ws.reshape(tot, ncomp * c_in), bs[None])
 
 

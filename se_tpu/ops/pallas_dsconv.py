@@ -33,17 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 _LN_EPS = 1e-5
 
 
-def _ln_percomp(x, gamma, beta, ncomp):
+def _ln_percomp(x, gamma_full, beta_full, ncomp):
     """LayerNorm over each of `ncomp` equal channel segments with SHARED
-    scale/bias. x (..., ncomp*C), gamma/beta (C,)."""
-    shape = x.shape
-    c = shape[-1] // ncomp
-    xs = x.reshape(shape[:-1] + (ncomp, c))
-    mu = jnp.mean(xs, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xs - mu), axis=-1, keepdims=True)
-    y = (xs - mu) * jax.lax.rsqrt(var + _LN_EPS)
-    y = y * gamma + beta
-    return y.reshape(shape)
+    scale/bias. x (rows, ncomp*C) 2-D; gamma_full/beta_full (ncomp*C,)
+    (the shared params pre-tiled). Segment means/vars go through one-hot
+    matmuls instead of a lane-splitting reshape (Mosaic rejects
+    (rows, 2C) -> (rows, 2, C) shape casts)."""
+    cin = x.shape[-1]
+    c = cin // ncomp
+    cid = jax.lax.broadcasted_iota(jnp.int32, (cin, ncomp), 0) // c
+    sid = jax.lax.broadcasted_iota(jnp.int32, (cin, ncomp), 1)
+    sel = (cid == sid).astype(jnp.float32)  # (Cin, ncomp) one-hot
+    mu = jnp.dot(x, sel, preferred_element_type=jnp.float32) / c
+    mu_b = jnp.dot(mu, sel.T, preferred_element_type=jnp.float32)
+    d = x - mu_b
+    var = jnp.dot(d * d, sel, preferred_element_type=jnp.float32) / c
+    var_b = jnp.dot(var, sel.T, preferred_element_type=jnp.float32)
+    return d * jax.lax.rsqrt(var_b + _LN_EPS) * gamma_full + beta_full
 
 
 def _prelu(x, alpha):
@@ -51,26 +57,31 @@ def _prelu(x, alpha):
 
 
 def _block_math(x, params, d1: int, d2: int, ncomp: int):
-    """The whole DSConv block on one batch item. x (T, F, Cin) fp32."""
+    """The whole DSConv block on one batch item. x (T, F, Cin) fp32.
+    g1/b1 are pre-tiled to (ncomp*C,), g2/b2 to (ncomp*Cm,); the dilated
+    conv kernels wd1/wd2 arrive flattened to (9*Cm, Cm) in (i, j, cin)
+    row order (im2col layout)."""
     (g1, b1, w1, bb1, alpha, wd1, bd1, wd2, bd2,
      g2, b2, ws, bs) = params
     t, f, cin = x.shape
     cm = w1.shape[1]
 
-    y = _ln_percomp(x, g1, b1, ncomp)
-    y = y.reshape(t * f, cin) @ w1 + bb1  # 1x1 conv
+    x2 = x.reshape(t * f, cin)
+    y = _ln_percomp(x2, g1, b1, ncomp)
+    y = y @ w1 + bb1  # 1x1 conv
     y = _prelu(y, alpha)
     y3 = y.reshape(t, f, cm)
 
-    def dconv(w, b, d):
+    def dconv(w9, b, d):
+        # in-VMEM im2col: 9 shifted taps lane-concatenated into one
+        # (T*F, 9*Cm) patch matrix -> ONE matmul with K=9*Cm (full MXU
+        # tiles) instead of 9 K=N=Cm quarter-tile matmuls
         yp = jnp.pad(y3, ((d, d), (1, 1), (0, 0)))
-        acc = jnp.zeros((t * f, cm), jnp.float32) + b
-        for i in range(3):
-            for j in range(3):
-                tap = yp[i * d : i * d + t, j : j + f].reshape(t * f, cm)
-                acc += jnp.dot(tap, w[i, j],
-                               preferred_element_type=jnp.float32)
-        return acc
+        taps = [yp[i * d : i * d + t, j : j + f].reshape(t * f, cm)
+                for i in range(3) for j in range(3)]
+        patches = jnp.concatenate(taps, axis=-1)
+        return jnp.dot(patches, w9,
+                       preferred_element_type=jnp.float32) + b
 
     a = dconv(wd1, bd1, d1)
     g = dconv(wd2, bd2, d2)
@@ -78,7 +89,7 @@ def _block_math(x, params, d1: int, d2: int, ncomp: int):
     z = _ln_percomp(z, g2, b2, ncomp)
     z = z * jax.nn.sigmoid(z)
     out = z @ ws + bs
-    return x + out.reshape(t, f, cin)
+    return (x2 + out).reshape(t, f, cin)
 
 
 def _kernel(x_ref, *refs, d1: int, d2: int, ncomp: int):
@@ -111,6 +122,8 @@ def _pallas_dsconv(x, params, d1: int, d2: int, ncomp: int,
         out_specs=pl.BlockSpec((1, t, f, cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *params)
 

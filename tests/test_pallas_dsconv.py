@@ -13,12 +13,12 @@ from se_tpu.ops.pallas_dsconv import _reference, dsconv_block
 
 def _params(rng, cin, cm, ncomp):
     r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
-    return (r(1, cin // ncomp) + 1.0, r(1, cin // ncomp),
+    return (r(1, cin) + 1.0, r(1, cin),
             r(ncomp * (cin // ncomp), ncomp * cm) * 0.1, r(1, ncomp * cm),
             jnp.asarray([[0.25]], jnp.float32),
-            r(3, 3, ncomp * cm, ncomp * cm) * 0.1, r(1, ncomp * cm),
-            r(3, 3, ncomp * cm, ncomp * cm) * 0.1, r(1, ncomp * cm),
-            r(1, cm) + 1.0, r(1, cm),
+            r(9 * ncomp * cm, ncomp * cm) * 0.1, r(1, ncomp * cm),
+            r(9 * ncomp * cm, ncomp * cm) * 0.1, r(1, ncomp * cm),
+            r(1, ncomp * cm) + 1.0, r(1, ncomp * cm),
             r(ncomp * cm, cin) * 0.1, r(1, cin))
 
 
