@@ -39,14 +39,18 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32) * 0.1
 
+    # jit the init: un-jitted flax init dispatches thousands of eager ops,
+    # each a full round trip through the remote tunnel (~27 ms fixed) —
+    # measured >9 min for Uformer vs 46 s jitted
     if entry.io_kind == "waveform":
-        variables = model.init(jax.random.PRNGKey(0), wav[:1], wav[:1])
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), wav[:1], wav[:1])
     else:
         re, im = stft(wav[:1], entry.stft)
         mag = jnp.sqrt(re**2 + im**2)
         feats = mag if entry.io_kind in ("mag_mask", "cirm") else (
             jnp.stack([re, im], axis=-1))
-        variables = model.init(jax.random.PRNGKey(0), feats)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
 
     compressed = True
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[

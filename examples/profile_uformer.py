@@ -52,7 +52,7 @@ def main():
     n = 64000
     wav = jnp.asarray(rng.standard_normal((B, n)), jnp.float32) * 0.1
     model = Uformer()
-    vs = model.init(key, wav[:1], wav[:1])
+    vs = jax.jit(model.init)(key, wav[:1], wav[:1])
     timeit("uformer full fwd", lambda w: model.apply(vs, w, w)[0],
            wav, iters=16)
 

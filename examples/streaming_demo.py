@@ -37,7 +37,8 @@ def main():
     import jax.numpy as jnp
 
     re, im = stft(jnp.asarray(wav[None]), entry.stft)
-    variables = model.init(jax.random.PRNGKey(0), jnp.sqrt(re**2 + im**2))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.sqrt(re**2 + im**2))
 
     offline = enhance_waveform("lstm", variables, wav, model=model)
 

@@ -90,11 +90,11 @@ def cmd_enhance(args):
                 feats = mag if entry.io_kind in ("mag_mask", "cirm") else (
                     jnp.stack([re, im], axis=-1))
                 if entry.io_kind == "waveform":
-                    vars_ = model.init(jax.random.PRNGKey(0),
-                                       jnp.asarray(wav[None]),
-                                       jnp.asarray(wav[None]))
+                    vars_ = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                                jnp.asarray(wav[None]),
+                                                jnp.asarray(wav[None]))
                 else:
-                    vars_ = model.init(jax.random.PRNGKey(0), feats)
+                    vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
             else:
                 vars_ = variables
             est = enhance_waveform(args.model, vars_, wav,
@@ -134,10 +134,11 @@ def cmd_stream(args):
             feats = mag if entry.io_kind in ("mag_mask", "cirm") else (
                 jnp.stack([re, im], axis=-1))
             if entry.io_kind == "waveform":
-                variables = model.init(jax.random.PRNGKey(0), wav[None],
-                                       wav[None])
+                variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                                jnp.asarray(wav[None]),
+                                                jnp.asarray(wav[None]))
             else:
-                variables = model.init(jax.random.PRNGKey(0), feats)
+                variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
         if args.mode == "exact":
             if args.model != "lstm":
                 raise SystemExit("--mode exact currently supports --model lstm")

@@ -267,7 +267,8 @@ class DeepXiDriver:
                     [n_frames(len(c)) for c in clean], jnp.int32)
                 if self.variables is None:
                     obs, _ = self.inp_tgt.example(s[:1], x[:1])
-                    self.variables = self.model.init(jax.random.PRNGKey(0), obs)
+                    self.variables = jax.jit(self.model.init)(
+                        jax.random.PRNGKey(0), obs)
                     opt_state = tx.init(self.variables["params"])
                 self.variables, opt_state, loss = step(
                     self.variables, opt_state, s, x, frames)

@@ -87,6 +87,8 @@ def sdp_attention(q, k, v, scale: float, interpret: bool | None = None):
     TPU for VMEM-sized L, einsum elsewhere."""
     from se_tpu.parallel.mesh import active_mesh
 
+    import os
+
     l = q.shape[2]
     if interpret is None:
         platform = jax.devices()[0].platform
@@ -94,6 +96,7 @@ def sdp_attention(q, k, v, scale: float, interpret: bool | None = None):
         # under a sharded mesh GSPMD cannot partition pallas_call: use the
         # einsum path (it shards fine along the fold axis)
         if not on_tpu or active_mesh() is not None \
+                or os.environ.get("SE_TPU_DISABLE_PALLAS_ATTENTION") \
                 or l < _MIN_L or l > _VMEM_MAX_L:
             return _reference(q, k, v, scale)
         interpret = False

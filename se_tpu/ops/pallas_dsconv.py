@@ -163,11 +163,14 @@ def dsconv_block(x, params, d1: int, d2: int, ncomp: int,
     included). `params` is the 13-tuple documented in _block_math, with
     vectors shaped (1, C) and the PReLU scalar (1, 1)."""
     if interpret is None:
+        import os
+
         from se_tpu.parallel.mesh import active_mesh
 
         platform = jax.devices()[0].platform
         # under a sharded mesh GSPMD cannot partition pallas_call
-        if platform not in ("tpu", "axon") or active_mesh() is not None:
+        if (platform not in ("tpu", "axon") or active_mesh() is not None
+                or os.environ.get("SE_TPU_DISABLE_PALLAS_DSCONV")):
             return _reference(x, tuple(params), d1, d2, ncomp)
         interpret = False
     return _fused(d1, d2, ncomp, bool(interpret))(x, *params)

@@ -197,13 +197,16 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         return loss, new_vars
 
     def init_fn(rng, batch):
+        # jit the flax init: un-jitted it dispatches each traced op eagerly,
+        # which is pathological over a remote-tunneled device (~27 ms fixed
+        # per dispatch; >9 min for Uformer vs ~46 s as one jitted call)
         mix = jnp.asarray(batch["mix"][:1])
         if entry.io_kind == "waveform":
-            variables = model.init(rng, mix, mix)
+            variables = jax.jit(model.init)(rng, mix, mix)
         else:
             mag, _, spec, _ = _prep(entry, mix, mix, cfg.compressed)
             feats = mag if entry.io_kind in ("mag_mask", "cirm") else spec
-            variables = model.init(rng, feats)
+            variables = jax.jit(model.init)(rng, feats)
         params = variables.pop("params")
         state = {
             "params": params,
