@@ -1,0 +1,180 @@
+"""Whole-model Uformer region profile: stft/istft, encoder, conformer,
+decoder, heads — each timed standalone at the B=32 x 4 s shapes with
+fori_loop chaining (cache-safe, same methodology as bench.py).
+
+Run: python examples/profile_uformer_full.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+B, N = 32, 64000
+SRC_T = 401
+
+
+def timeit(name, fn, x, iters=32):
+    @jax.jit
+    def run_n(v):
+        def body(_, carry):
+            out = fn(carry)
+            return jax.tree.map(
+                lambda a, b: a + 1e-6 * b.astype(a.dtype), x, out)
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    warm = run_n(x)
+    jax.block_until_ready(warm)
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_n(warm))
+    dt = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:28s} {dt:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    import flax.linen as nn
+
+    from se_tpu.models.uformer import (
+        CConvDec, CConvEnc, ComplexBN, DilatedDualpathConformer, KERNELS,
+        RConvDec, RConvEnc, Uformer, fusion,
+    )
+    from se_tpu.nn import BatchNorm
+    from se_tpu.nn.activations import PReLU
+    from se_tpu.ops.stft import PRESET_UFORMER, istft, stft
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    wav = jnp.asarray(rng.standard_normal((B, N)), jnp.float32) * 0.1
+
+    # full model
+    model = Uformer()
+    vs = jax.jit(model.init)(key, wav[:1], wav[:1])
+    total = timeit("uformer full fwd", lambda w: model.apply(vs, w, w)[0],
+                   wav, iters=16)
+
+    # stft + istft
+    def stft_istft(w):
+        re, im = stft(w, PRESET_UFORMER)
+        return istft(re, im, PRESET_UFORMER, length=N)
+
+    t_stft = timeit("stft+istft", jax.jit(stft_istft), wav)
+
+    # encoder (both branches + fusions, 6 levels)
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, re, im, mag):
+            for i in range(6):
+                re, im = CConvEnc(KERNELS[i + 1], name=f"enc{i}")(re, im)
+                re, im = ComplexBN(name=f"enc_bn{i}")(re, im)
+                act = PReLU(None, name=f"enc_act{i}")
+                re, im = act(re), act(im)
+                mag = RConvEnc(KERNELS[i + 1], name=f"enc_real{i}")(mag)
+                mag = BatchNorm(name=f"enc_real_bn{i}")(
+                    mag, use_running_average=True)
+                mag = PReLU(None, name=f"enc_real_act{i}")(mag)
+                re, im, mag = fusion(re, im, mag)
+            return re, im, mag
+
+    f0 = 256
+    re0 = jnp.asarray(rng.standard_normal((B, SRC_T, f0, 1)),
+                      jnp.float32) * 0.1
+    enc = Enc()
+    vs_e = jax.jit(enc.init)(key, re0, re0, re0)
+    t_enc = timeit("encoder (6 lvls + fusion)",
+                   lambda t3: enc.apply(vs_e, *t3), (re0, re0, re0))
+
+    # conformer at bottleneck
+    cshape = (B, SRC_T, 4, 128)
+    re_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+    im_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+    mg_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+    conf = DilatedDualpathConformer()
+    vs_c = jax.jit(conf.init)(key, re_b, im_b, mg_b)
+    t_conf = timeit("conformer", lambda t3: conf.apply(vs_c, *t3),
+                    (re_b, im_b, mg_b))
+
+    # decoder (6 levels, skip-concat + transpose convs + BN/PReLU + fusion)
+    class Dec(nn.Module):
+        @nn.compact
+        def __call__(self, re, im, mag, skips_c, skips_m):
+            for i in range(6):
+                skip_re, skip_im = skips_c[-1 - i]
+                re = jnp.concatenate([skip_re, re], axis=-1)
+                im = jnp.concatenate([skip_im, im], axis=-1)
+                re, im = CConvDec(KERNELS[5 - i], name=f"dec{i}")(re, im)
+                mag = jnp.concatenate([skips_m[-1 - i], mag], axis=-1)
+                mag = RConvDec(KERNELS[5 - i], name=f"dec_real{i}")(mag)
+                if i < 5:
+                    re, im = ComplexBN(name=f"dec_bn{i}")(re, im)
+                    act = PReLU(None, name=f"dec_act{i}")
+                    re, im = act(re), act(im)
+                    mag = BatchNorm(name=f"dec_real_bn{i}")(
+                        mag, use_running_average=True)
+                    mag = PReLU(None, name=f"dec_real_act{i}")(mag)
+                re, im, mag = fusion(re, im, mag)
+            return re, im, mag
+
+    skips_c, skips_m = [], []
+    f = 256
+    for i in range(6):
+        f = f // 2
+        c = KERNELS[i + 1]
+        s = jnp.asarray(rng.standard_normal((B, SRC_T, f, c)),
+                        jnp.float32) * 0.1
+        skips_c.append((s, s))
+        skips_m.append(s)
+    dec = Dec()
+    args = (re_b, im_b, mg_b, skips_c, skips_m)
+    vs_d = jax.jit(dec.init)(key, *args)
+    t_dec = timeit("decoder (6 lvls + fusion)",
+                   lambda a: dec.apply(vs_d, *a), args)
+
+    # heads: trig mask application + istft
+    fm = 257
+    mag_full = jnp.abs(jnp.asarray(
+        rng.standard_normal((B, SRC_T, fm)), jnp.float32)) + 0.1
+    phase = jnp.asarray(
+        rng.uniform(-3.1, 3.1, (B, SRC_T, fm)), jnp.float32)
+    dec_re = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                         jnp.float32) * 0.1
+    dec_im = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                         jnp.float32) * 0.1
+    dec_mag = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                          jnp.float32) * 0.1
+
+    EPS = float(np.finfo(np.float32).eps)
+
+    def heads(t3):
+        dre, dim, dmg = t3
+        mag = jax.nn.sigmoid(dmg[..., 0])
+        mag = jnp.pad(mag, ((0, 0), (0, 0), (1, 0)))
+        mag = mag * mag_full
+        mask_re, mask_im = dre[..., 0], dim[..., 0]
+        mask_mags = jnp.sqrt(jnp.maximum(mask_re**2 + mask_im**2, EPS))
+        real_phase = mask_re / (mask_mags + EPS)
+        imag_phase = mask_im / (mask_mags + EPS)
+        mask_mags = jnp.tanh(mask_mags + EPS)
+        mask_phase = jnp.arctan2(imag_phase + EPS, real_phase)
+        mask_mags = jnp.pad(mask_mags, ((0, 0), (0, 0), (1, 0)))
+        mask_phase = jnp.pad(mask_phase, ((0, 0), (0, 0), (1, 0)))
+        est_mags = mask_mags * mag_full
+        est_phase = phase + mask_phase
+        mag_fused = (est_mags + mag) * 0.5
+        out_re = mag_fused * jnp.cos(est_phase)
+        out_im = mag_fused * jnp.sin(est_phase)
+        return istft(out_re, out_im, PRESET_UFORMER, length=N)
+
+    t_heads = timeit("heads (trig+istft)", jax.jit(heads),
+                     (dec_re, dec_im, dec_mag))
+
+    acc = t_stft + t_enc + t_conf + t_dec + t_heads
+    print(f"{'sum of regions':28s} {acc:8.2f} ms (full fwd {total:.2f})")
+
+
+if __name__ == "__main__":
+    main()

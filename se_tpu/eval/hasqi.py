@@ -38,11 +38,15 @@ Fidelity vs the Kates & Arehart MATLAB distribution (round 2 upgrade):
   in the reference model).
 - input alignment is a single full-utterance lag — also the reference
   behavior (eb_EarModel aligns once).
-Remaining simplification: no IHC firing-rate adaptation stage
-(eb_IHCadapt) — a smoothing nonlinearity that mostly cancels between ref
-and proc in the correlation measures. No numeric oracle exists in this
-image (the Kates code is not redistributable); validation is behavioral,
-including hearing-loss audiogram cases (tests/test_hasqi.py).
+- IHC firing-rate adaptation (eb_IHCadapt, round 3): the published
+  two-capacitor RC equivalent circuit with rapid (2 ms) and short-term
+  (60 ms) time constants and onset overshoot delta=2, applied to the dB-SL
+  envelope with the matching gain applied to the BM path. The per-sample
+  2-state recurrence is vectorized by eigen-decomposing the state matrix
+  into two independent one-pole scans.
+No numeric oracle exists in this image (the Kates code is not
+redistributable); validation is behavioral, including hearing-loss
+audiogram cases and the onset-overshoot property (tests/test_hasqi.py).
 """
 
 from __future__ import annotations
@@ -177,6 +181,46 @@ def _lp1(x: np.ndarray, fc: float) -> np.ndarray:
     return np.real(_one_pole(ff, -a1))
 
 
+def _ihc_adapt(xdb: np.ndarray, xbm: np.ndarray, delta: float = 2.0):
+    """IHC firing-rate adaptation (eb_IHCadapt): rapid (2 ms) +
+    short-term (60 ms) adaptation modeled as the published two-capacitor
+    RC equivalent circuit with onset overshoot factor `delta`. The
+    envelope (dB SL) drives the circuit; the BM path gets the same
+    instantaneous gain (ydb+eps)/(xdb+eps).
+
+    The per-sample state update is linear: V[n] = M V[n-1] + d x[n] with
+    a constant 2x2 M — diagonalizing M turns it into two independent
+    one-pole recursions, each computed with the O(n log n) block-doubling
+    scan (no Python per-sample loop)."""
+    delta = max(float(delta), 1.0001)
+    tau1, tau2 = 0.002, 0.060
+    t_s = 1.0 / _FS
+    r1 = 1.0 / delta
+    r2 = 0.5 * (1.0 - r1)
+    r3 = r2
+    c1 = tau1 * (r1 + r2) / (r1 * r2)
+    c2 = tau2 / (r1 + r2)
+    a11 = r1 + r2 + r1 * r2 * (c1 / t_s)
+    a12 = -r1
+    a21 = -r3
+    a22 = r2 + r3 + r2 * r3 * (c2 / t_s)
+    denom = 1.0 / (a11 * a22 - a21 * a12)
+    r12c1 = r1 * r2 * (c1 / t_s)
+    r23c2 = r2 * r3 * (c2 / t_s)
+    m = np.array([[denom * a22 * r12c1, -denom * a12 * r23c2],
+                  [-denom * a21 * r12c1, denom * a11 * r23c2]])
+    d = np.array([denom * a22 * r2, -denom * a21 * r2])
+    evals, p = np.linalg.eig(m)
+    u = np.linalg.solve(p, d)  # input weights in modal coordinates
+    x = xdb.astype(np.complex128)
+    w = np.stack([_one_pole(u[i] * x, evals[i]) for i in range(2)])
+    v1 = np.real(p[0] @ w)
+    ydb = np.maximum((xdb - v1) / r1, 0.0)
+    small = 1e-30
+    gain = (ydb + small) / (xdb + small)
+    return ydb, gain * xbm
+
+
 def _env_db(env: np.ndarray, level1: float) -> np.ndarray:
     """Envelope magnitude -> dB re the level1 calibration (65 dB SPL ~ RMS 1)."""
     small = 1e-30
@@ -251,8 +295,11 @@ def ear_model(ref: np.ndarray, proc: np.ndarray, fs: int,
             env_c = gain * s_env
             out_db = np.maximum(
                 0.0, _env_db(env_c, level1) - attn_ihc[k])
+            # IHC firing-rate adaptation on the dB-SL envelope, matching
+            # gain on the BM path (eb_IHCadapt, delta=2)
+            out_db, bm_adapted = _ihc_adapt(out_db, gain * s_bm)
             env_db[name].append(out_db)
-            bm_seg[name].append(gain * s_bm)
+            bm_seg[name].append(bm_adapted)
 
     ref_env = np.stack(env_db["ref"])
     proc_env = np.stack(env_db["proc"])

@@ -328,6 +328,15 @@ class MHANet(nn.Module):
     softmax output is multiplied by the pairwise sequence mask
     (ref attention.py:189-207, 209-246), so padded tails cannot leak into
     valid frames.
+
+    V2 flavor (`v2=True`, ref attention.py:278-353) reproduces
+    tfa.layers.MultiHeadAttention semantics instead: the query is
+    pre-scaled by 1/sqrt(d_k), the merged boolean mask is applied as
+    `logits += -10e9 * (1 - mask)` (AttentionMaskV2, attention.py:354-385),
+    and — unlike V1 — the softmax output is NOT re-zeroed by the pairwise
+    sequence mask, so fully-padded query rows attend uniformly (harmless:
+    those frames are dropped downstream). Projections stay bias-free
+    (use_projection_bias=False).
     """
 
     n_outp: int = 257
@@ -338,6 +347,7 @@ class MHANet(nn.Module):
     outp_act: str = "Sigmoid"
     learned_pos: bool = False
     max_len: int = 2048
+    v2: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -367,8 +377,14 @@ class MHANet(nn.Module):
 
             logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
             logits = logits / np.sqrt(d_k)
-            logits = jnp.where(mask, logits, logits - 1e9)
-            att = nn.softmax(logits, axis=-1) * seq_f
+            if self.v2:
+                # tfa masking: additive -10e9 on masked pairs, no
+                # post-softmax sequence re-zeroing (attention.py:278-353)
+                logits = logits - 10e9 * (1.0 - mask.astype(logits.dtype))
+                att = nn.softmax(logits, axis=-1)
+            else:
+                logits = jnp.where(mask, logits, logits - 1e9)
+                att = nn.softmax(logits, axis=-1) * seq_f
             ctx = jnp.einsum("bhqk,bhkd->bhqd", att, split(v))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, self.d_model)
             ctx = nn.Dense(self.d_model, use_bias=False, name=f"b{i}_o")(ctx)
@@ -580,7 +596,7 @@ class DeepXi(nn.Module):
             "ResNetV2": ResNetV2,
             "ResNetV3": ResNetV3,
             "MHANet": MHANet,
-            "MHANetV2": MHANet,
+            "MHANetV2": functools.partial(MHANet, v2=True),
             "MHANetV3": functools.partial(MHANet, learned_pos=True),
             "ResLSTM": ResLSTM,
             "ResBiLSTM": functools.partial(ResLSTM, bidirectional=True),

@@ -98,17 +98,13 @@ _PALLAS_LSTM_MIN_BATCH = 1024
 
 
 def _use_pallas_lstm(bsz: int) -> bool:
-    import os
-
     import jax
 
-    if os.environ.get("SE_TPU_DISABLE_PALLAS_LSTM"):
+    from se_tpu.utils.envflags import env_flag
+
+    if env_flag("SE_TPU_DISABLE_PALLAS_LSTM"):
         return False
     if bsz < _PALLAS_LSTM_MIN_BATCH:
-        return False
-    from se_tpu.parallel.mesh import active_mesh
-
-    if active_mesh() is not None:  # GSPMD cannot partition pallas_call
         return False
     d = jax.devices()[0]
     return (d.platform in ("tpu", "axon")
@@ -140,7 +136,9 @@ def lstm_layer(
             and not return_carry):
         from se_tpu.ops.pallas_lstm import pallas_lstm_layer
 
-        return pallas_lstm_layer(x, wx, wh, b, reverse=reverse)
+        ys = pallas_lstm_layer(x, wx, wh, b, reverse=reverse)
+        if ys is not None:  # None: batch doesn't divide the active mesh
+            return ys
 
     if fused:
         xs = jnp.swapaxes(x, 0, 1)

@@ -85,19 +85,25 @@ def _fused(scale: float, interpret: bool):
 def sdp_attention(q, k, v, scale: float, interpret: bool | None = None):
     """(N, H, L, D) scaled-dot-product attention; fused Pallas kernel on
     TPU for VMEM-sized L, einsum elsewhere."""
-    from se_tpu.parallel.mesh import active_mesh
-
-    import os
+    from se_tpu.parallel.mesh import active_mesh, shard_map_leading
+    from se_tpu.utils.envflags import env_flag
 
     l = q.shape[2]
     if interpret is None:
         platform = jax.devices()[0].platform
         on_tpu = platform in ("tpu", "axon")
-        # under a sharded mesh GSPMD cannot partition pallas_call: use the
-        # einsum path (it shards fine along the fold axis)
-        if not on_tpu or active_mesh() is not None \
-                or os.environ.get("SE_TPU_DISABLE_PALLAS_ATTENTION") \
+        if not on_tpu or env_flag("SE_TPU_DISABLE_PALLAS_ATTENTION") \
                 or l < _MIN_L or l > _VMEM_MAX_L:
             return _reference(q, k, v, scale)
         interpret = False
-    return _fused(float(scale), bool(interpret))(q, k, v)
+    mesh = active_mesh()
+    fn = _fused(float(scale), bool(interpret))
+    if mesh is not None:
+        # GSPMD cannot partition pallas_call; run it per-shard with the
+        # fold axis split over the whole mesh (attention is independent
+        # per (n, h)). Falls back to einsum when the fold doesn't divide.
+        mapped = shard_map_leading(fn, mesh, q.shape[0], n_mapped=3)
+        if mapped is None:
+            return _reference(q, k, v, scale)
+        return mapped(q, k, v)
+    return fn(q, k, v)

@@ -162,15 +162,23 @@ def dsconv_block(x, params, d1: int, d2: int, ncomp: int,
     """x (B, T, F, Cin) channel-concat input -> same shape (residual
     included). `params` is the 13-tuple documented in _block_math, with
     vectors shaped (1, C) and the PReLU scalar (1, 1)."""
+    from se_tpu.parallel.mesh import active_mesh, shard_map_leading
+    from se_tpu.utils.envflags import env_flag
+
     if interpret is None:
-        import os
-
-        from se_tpu.parallel.mesh import active_mesh
-
         platform = jax.devices()[0].platform
-        # under a sharded mesh GSPMD cannot partition pallas_call
-        if (platform not in ("tpu", "axon") or active_mesh() is not None
-                or os.environ.get("SE_TPU_DISABLE_PALLAS_DSCONV")):
+        if (platform not in ("tpu", "axon")
+                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")):
             return _reference(x, tuple(params), d1, d2, ncomp)
         interpret = False
-    return _fused(d1, d2, ncomp, bool(interpret))(x, *params)
+    fn = _fused(d1, d2, ncomp, bool(interpret))
+    mesh = active_mesh()
+    if mesh is not None:
+        # GSPMD cannot partition pallas_call; run per-shard over the batch
+        # axis (the block is independent per batch item)
+        mapped = shard_map_leading(fn, mesh, x.shape[0], n_mapped=1,
+                                   n_replicated=len(params))
+        if mapped is None:
+            return _reference(x, tuple(params), d1, d2, ncomp)
+        return mapped(x, *params)
+    return fn(x, *params)

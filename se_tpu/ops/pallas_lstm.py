@@ -89,8 +89,9 @@ def _pallas_lstm_tm(x, wx, wh, b, batch_tile: int, interpret: bool):
 
 
 def _scan_forward(x, wx, wh, b):
-    """lax.scan reference of the same layer (forward direction), used as
-    the differentiation path: the custom VJP recomputes it in backward."""
+    """lax.scan reference of the same layer (forward direction); test
+    oracle. NOT the differentiation path — it precomputes the full
+    (T, B, 4H) projection, the exact HBM blowup the kernel avoids."""
     xp = jnp.matmul(x, wx, preferred_element_type=jnp.float32) + b
     xp = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
     h_dim = wh.shape[0]
@@ -111,6 +112,44 @@ def _scan_forward(x, wx, wh, b):
     return jnp.swapaxes(ys, 0, 1).astype(x.dtype)
 
 
+def _scan_forward_chunked(x, wx, wh, b, chunk: int = 32):
+    """Bounded-memory differentiable reference of the same layer (the
+    custom VJP differentiates THIS, VERDICT r2 item 3): the input
+    projection happens per chunk inside a CHECKPOINTED outer scan, so
+    backward saves only chunk-boundary (h, c) carries — (T/chunk, B, 2H)
+    — and recomputes each chunk's (chunk, B, 4H) gates on the fly. The
+    full (T, B, 4H) tensor (~12-20 GB for FullSubNet at serving batch)
+    is never materialized, forward or backward."""
+    bsz, t_len, in_dim = x.shape
+    h_dim = wh.shape[0]
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, In)
+    t_pad = -(-t_len // chunk) * chunk
+    if t_pad != t_len:
+        xs = jnp.pad(xs, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    xc = xs.reshape(t_pad // chunk, chunk, bsz, in_dim)
+    carry0 = (jnp.zeros((bsz, h_dim), jnp.float32),
+              jnp.zeros((bsz, h_dim), jnp.float32))
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.matmul(h.astype(wh.dtype), wh,
+                                preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    @jax.checkpoint
+    def outer(carry, xchunk):
+        proj = jnp.matmul(xchunk, wx,
+                          preferred_element_type=jnp.float32) + b
+        return jax.lax.scan(step, carry, proj)
+
+    _, ys = jax.lax.scan(outer, carry0, xc)
+    ys = ys.reshape(t_pad, bsz, h_dim)[:t_len]
+    return jnp.swapaxes(ys, 0, 1).astype(x.dtype)
+
+
 def _pallas_forward(x, wx, wh, b, interpret: bool):
     bsz = x.shape[0]
     in_dim = wx.shape[0]
@@ -128,8 +167,10 @@ def _pallas_forward(x, wx, wh, b, interpret: bool):
 
 @functools.lru_cache(maxsize=4)
 def _fused(interpret: bool):
-    """custom-VJP wrapper: Pallas forward, scan-reference backward (the
-    kernel defines no transpose rule; training paths differentiate this)."""
+    """custom-VJP wrapper: Pallas forward, chunked-recompute backward (the
+    kernel defines no transpose rule; training paths differentiate the
+    checkpointed chunked scan, which never materializes the (T, B, 4H)
+    projection)."""
 
     @jax.custom_vjp
     def f(x, wx, wh, b):
@@ -139,7 +180,7 @@ def _fused(interpret: bool):
         return _pallas_forward(x, wx, wh, b, interpret), (x, wx, wh, b)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(_scan_forward, *res)
+        _, vjp = jax.vjp(_scan_forward_chunked, *res)
         return vjp(g.astype(res[0].dtype))
 
     f.defvjp(fwd, bwd)
@@ -161,12 +202,28 @@ def _pick_batch_tile(bf: int, in_dim: int, h_dim: int) -> int:
 def pallas_lstm_layer(x, wx, wh, b, reverse: bool = False,
                       interpret: bool | None = None):
     """(B, T, in) -> (B, T, H) single-direction LSTM layer; drop-in for the
-    scan path when no carry is needed. Pads the batch to a tile multiple."""
+    scan path when no carry is needed. Pads the batch to a tile multiple.
+
+    Under an active mesh the kernel runs per-shard via shard_map over the
+    (folded) batch axis — sequences are independent, so this is exact;
+    returns None when the batch doesn't divide over the mesh (the caller
+    falls back to the scan path)."""
+    from se_tpu.parallel.mesh import active_mesh, shard_map_leading
+
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     if reverse:
         x = jnp.flip(x, axis=1)
-    ys = _fused(bool(interpret))(x, wx, wh, b)
+    fn = _fused(bool(interpret))
+    mesh = active_mesh()
+    if mesh is not None:
+        mapped = shard_map_leading(fn, mesh, x.shape[0], n_mapped=1,
+                                   n_replicated=3)
+        if mapped is None:
+            return None
+        ys = mapped(x, wx, wh, b)
+    else:
+        ys = fn(x, wx, wh, b)
     if reverse:
         ys = jnp.flip(ys, axis=1)
     return ys

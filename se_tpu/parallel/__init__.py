@@ -13,4 +13,5 @@ from se_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_activation,
     shard_batch,
+    shard_map_leading,
 )

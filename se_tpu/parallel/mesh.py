@@ -94,6 +94,26 @@ def shard_activation(x, *spec):
     )
 
 
+def shard_map_leading(fn, mesh: Mesh, leading_dim: int, n_mapped: int,
+                      n_replicated: int = 0):
+    """Wrap `fn` in a shard_map that splits the LEADING axis of its first
+    `n_mapped` args over ALL mesh axes (remaining `n_replicated` args fully
+    replicated; single output sharded like the mapped inputs).
+
+    This is how the Pallas kernels stay live under a mesh: GSPMD cannot
+    partition pallas_call, but the kernels are independent per leading
+    (batch/fold) index, so running them per-shard is exact. Returns None
+    when `leading_dim` doesn't divide over the mesh (callers fall back to
+    their XLA path)."""
+    total = int(np.prod(tuple(mesh.shape.values())))
+    if total <= 0 or leading_dim % total != 0:
+        return None
+    lead = P(mesh.axis_names)
+    in_specs = tuple([lead] * n_mapped + [P()] * n_replicated)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=lead,
+                         check_vma=False)
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:

@@ -119,9 +119,14 @@ def resnet_v2_forward(params, x, n_blocks, max_d_rate, k,
 
 
 def mhanet_forward(params, x, n_blocks, n_heads, causal=True,
-                   outp_act="Sigmoid", learned_pos=False):
-    """attention.py:15-276. x (B, T, F); zero frames are Masking(0.0)
-    padding."""
+                   outp_act="Sigmoid", learned_pos=False, v2=False):
+    """attention.py:15-276 (v2=False) / 278-385 (v2=True). x (B, T, F);
+    zero frames are Masking(0.0) padding.
+
+    v2 follows tfa.layers.MultiHeadAttention: query pre-scaled by
+    1/sqrt(d_k), boolean AttentionMaskV2 applied as
+    logits += -10e9 * (1 - mask), and no post-softmax sequence-mask
+    multiply."""
     x = np.asarray(x, np.float64)
     b, t, _ = x.shape
     d_model = np.asarray(params["ff_conv"]["kernel"]).shape[1]
@@ -151,11 +156,16 @@ def mhanet_forward(params, x, n_blocks, n_heads, causal=True,
         q = split(_dense(h, params[f"b{i}_q"]))
         kk = split(_dense(h, params[f"b{i}_k"]))
         v = split(_dense(h, params[f"b{i}_v"]))
-        logits = q @ kk.transpose(0, 1, 3, 2) / np.sqrt(d_k)
-        logits = logits + att_mask
+        if v2:
+            logits = (q / np.sqrt(d_k)) @ kk.transpose(0, 1, 3, 2)
+            logits = logits + (-10e9) * (1.0 - logical[:, None])
+        else:
+            logits = q @ kk.transpose(0, 1, 3, 2) / np.sqrt(d_k)
+            logits = logits + att_mask
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         att = e / e.sum(axis=-1, keepdims=True)
-        att = att * seq_f
+        if not v2:
+            att = att * seq_f
         ctx = (att @ v).transpose(0, 2, 1, 3).reshape(b, t, d_model)
         ctx = _dense(ctx, params[f"b{i}_o"])
         h = _ln(h + ctx, gamma=np.asarray(params[f"b{i}_ln1"]["scale"]),

@@ -72,6 +72,43 @@ def test_mhanet_matches_numpy_oracle_with_padding(rng, causal):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_mhanet_v2_matches_numpy_oracle_with_padding(rng, causal):
+    """MHANetV2 (tfa.MultiHeadAttention semantics, ref attention.py:278-385):
+    boolean mask as -10e9 additive, no post-softmax sequence re-zeroing.
+    Padded tail frames included so V2's distinct masking path is pinned."""
+    model = MHANet(n_outp=33, d_model=32, n_blocks=2, n_heads=4,
+                   causal=causal, v2=True)
+    x = _feats(rng, b=2, t=24, f=33)
+    x[0, 18:] = 0.0
+    params = model.init(jax.random.PRNGKey(6), jnp.asarray(x))["params"]
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    want = mhanet_forward(params, x, n_blocks=2, n_heads=4, causal=causal,
+                          v2=True)
+    # Compare VALID frames only: on fully-padded query rows the -10e9
+    # additive mask absorbs the logit differences in fp32 (uniform softmax,
+    # what tf fp32 also produces) but not in the float64 oracle. Valid rows
+    # never read padded keys (masked to -10e9 pre-softmax), so they agree.
+    np.testing.assert_allclose(got[0, :18], want[0, :18], atol=2e-5)
+    np.testing.assert_allclose(got[1], want[1], atol=2e-5)
+    # and V2 genuinely differs from V1 on padded inputs (un-aliased)
+    want_v1 = mhanet_forward(params, x, n_blocks=2, n_heads=4, causal=causal)
+    assert not np.allclose(want, want_v1, atol=1e-6)
+
+
+def test_mhanet_v2_selectable_via_deepxi(rng):
+    from se_tpu.models.deepxi import DeepXi
+
+    model = DeepXi(network="MHANetV2", n_feat=33,
+                   network_kwargs=(("d_model", 32), ("n_blocks", 1),
+                                   ("n_heads", 4)))
+    x = _feats(rng, b=1, t=12, f=33)
+    variables = model.init(jax.random.PRNGKey(7), jnp.asarray(x))
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (1, 12, 33)
+    assert np.all((out >= 0) & (out <= 1))
+
+
 def test_mhanet_v3_learned_pos_matches_numpy_oracle(rng):
     model = MHANet(n_outp=33, d_model=32, n_blocks=2, n_heads=4,
                    causal=True, learned_pos=True, max_len=64)

@@ -119,3 +119,27 @@ def test_mild_vs_moderate_profiles_differ(speech):
     for v in (q_mild, q_mod, p_mild, p_mod):
         assert np.isfinite(v) and 0.0 <= v <= 1.0
     assert q_mild != q_mod
+
+
+def test_ihc_adaptation_onset_overshoot():
+    """eb_IHCadapt behavioral pin (VERDICT r2 item 7): a step envelope
+    (rapid onset) overshoots to ~delta x the steady-state response, decays
+    monotonically back, and the steady state equals the input level; a
+    slowly-ramped envelope produces no such overshoot."""
+    from se_tpu.eval.hasqi import _FS, _ihc_adapt
+
+    n = int(_FS)  # 1 s
+    step = np.full(n, 40.0)
+    y, _ = _ihc_adapt(step, np.zeros(n), delta=2.0)
+    assert 1.8 < y.max() / y[-1] < 2.05  # onset ~ delta x steady state
+    assert abs(y[-1] - 40.0) < 1e-6  # adaptation asymptote = input
+    assert np.all(np.diff(y[10:]) <= 1e-9)  # monotone decay after onset
+
+    ramp = np.linspace(0.0, 40.0, n)  # slow onset: no overshoot
+    yr, _ = _ihc_adapt(ramp, np.zeros(n), delta=2.0)
+    assert yr.max() < 1.15 * 40.0
+
+    # the BM path gets the same instantaneous gain
+    bm = np.ones(n)
+    y2, bm2 = _ihc_adapt(step, bm, delta=2.0)
+    np.testing.assert_allclose(bm2, (y2 + 1e-30) / (step + 1e-30))

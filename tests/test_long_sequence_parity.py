@@ -14,6 +14,10 @@ import torch
 from tests.reference_oracle import load_reference_module, state_dict_numpy
 from tests.test_model_parity import _randomize
 
+# reference-weight determinism must not depend on transitive import-time
+# side effects of test_model_parity (ADVICE r2)
+torch.manual_seed(0)
+
 pytestmark = pytest.mark.slow
 
 B, T, F = 1, 512, 161
@@ -92,3 +96,126 @@ def test_fullsubnet_long_t_parity(rng):
     variables = from_reference_state_dict(state_dict_numpy(net))
     got = FullSubNet().apply(variables, mag[:, 0].transpose(0, 2, 1))
     _compare(np.transpose(np.asarray(got), (0, 3, 2, 1)), want)
+
+
+# ---- attention/TCN families (VERDICT r2 item 8): long utterances through
+# attention folds and dilated TCN stacks (receptive fields to 2^7) at the
+# same tolerances as the short-T parity suite.
+
+
+def test_dccrn_long_t_parity(rng):
+    from se_tpu.models.dccrn import DCCRN, from_reference_state_dict
+
+    ref = load_reference_module("DCCRN/DCCRN_cprs.py")
+    net = _randomize(ref.DCCRN(
+        rnn_units=256, masking_mode="E", use_clstm=True,
+        kernel_num=[32, 64, 128, 256, 256, 256]).eval())
+    x = rng.standard_normal((1, 2, 257, T)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = DCCRN().apply(variables, np.transpose(x, (0, 3, 2, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 2, 1)), want)
+
+
+def test_ctsnet_long_t_parity(rng):
+    from se_tpu.models.ctsnet import CTSNet, from_reference_state_dicts
+
+    s1_mod = load_reference_module("CTSNet_new/Step1_network.py")
+    s2_mod = load_reference_module("CTSNet_new/Step2_network.py")
+    net1 = _randomize(s1_mod.Step1_net().eval())
+    net2 = _randomize(s2_mod.Step2_net(X=6, R=3).eval())
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        mag = torch.norm(xt, dim=1)
+        phase = torch.atan2(xt[:, 1], xt[:, 0])
+        s1_mag = net1(mag)
+        s1 = torch.stack((s1_mag * torch.cos(phase),
+                          s1_mag * torch.sin(phase)), dim=1)
+        s2 = net2(torch.cat((xt, s1), dim=1))
+        want = (s1 + s2).numpy()
+    variables = from_reference_state_dicts(
+        state_dict_numpy(net1), state_dict_numpy(net2))
+    got = CTSNet(norm="cln").apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
+
+
+def test_g2net_long_t_parity(rng):
+    from se_tpu.models.g2net import G2Net, from_reference_state_dict
+
+    ref = load_reference_module("G2Net_new/gaf_net_320.py")
+    net = _randomize(ref.gaf_base(
+        3, 64, 2, 4, 4, [1, 2, 5, 9], 256 + 161 * 2, 256, 256, (2, 3),
+        (1, 3), 64, "cat", 3, is_aux=False, encoder_type="U2Net",
+        tcm_type="full-band",
+    ).eval())
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in net(torch.from_numpy(x))]
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = G2Net().apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    for s in range(3):
+        _compare(np.transpose(np.asarray(got[s]), (0, 3, 2, 1)), want[s])
+
+
+def test_taylorsenet_long_t_parity(rng):
+    from se_tpu.models.taylorsenet import (
+        TaylorSENet, from_reference_state_dict,
+    )
+
+    ref = load_reference_module("TaylorSENet_new/TaylorSENet.py")
+    net = _randomize(ref.TaylorSENet(
+        cin=2, k1=(1, 3), k2=(2, 3), c=64, kd1=5, cd1=64, d_feat=256,
+        dilations=[1, 2, 5, 9], p=2, fft_num=320, order_num=3,
+        intra_connect="cat", inter_connect="cat", is_causal=True,
+        is_conformer=False, is_u2=True, is_param_share=False,
+        is_encoder_share=False,
+    ).eval())
+    x = rng.standard_normal((1, 2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    got = TaylorSENet(norm="cln").apply(
+        variables, np.transpose(x, (0, 2, 3, 1)))
+    _compare(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
+
+
+def test_uformer_long_t_parity(rng, monkeypatch):
+    """~512 frames of waveform through the full Uformer (attention folds
+    at L~512, dilated DSConv stack with receptive field 2x128+1)."""
+    from se_tpu.models.uformer import Uformer, from_reference_state_dict
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    _stft, _istft = torch.stft, torch.istft
+
+    def old_stft(inp, n_fft, hop_length=None, win_length=None, window=None,
+                 **kw):
+        kw.pop("return_complex", None)
+        spec = _stft(inp, n_fft, hop_length, win_length, window,
+                     return_complex=True, **kw)
+        return torch.view_as_real(spec)
+
+    def old_istft(inp, n_fft, hop_length=None, win_length=None, window=None,
+                  **kw):
+        if not inp.is_complex() and inp.shape[-1] == 2:
+            inp = torch.view_as_complex(inp.contiguous())
+        return _istft(inp, n_fft, hop_length, win_length, window, **kw)
+
+    monkeypatch.setattr(torch, "stft", old_stft)
+    monkeypatch.setattr(torch, "istft", old_istft)
+    ref = load_reference_module("Uformer/uformer.py")
+    net = _randomize(ref.Uformer().eval())
+    n = 512 * 160  # hop 160 -> ~512 frames
+    x = rng.standard_normal((1, n)).astype(np.float32) * 0.1
+    s = rng.standard_normal((1, n)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want_wav, _, want_cplx, _ = net(torch.from_numpy(x),
+                                        torch.from_numpy(s))
+    variables = from_reference_state_dict(state_dict_numpy(net))
+    est, _, out_cplx, _ = Uformer().apply(variables, x, s)
+    np.testing.assert_allclose(
+        np.asarray(out_cplx[0]).transpose(0, 2, 1),
+        want_cplx[:, 0].numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(est), want_wav.numpy(),
+                               atol=2e-3, rtol=1e-2)
