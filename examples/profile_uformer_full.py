@@ -2,12 +2,19 @@
 decoder, heads — each timed standalone at the B=32 x 4 s shapes with
 fori_loop chaining (cache-safe, same methodology as bench.py).
 
-Run: python examples/profile_uformer_full.py
+Run: python examples/profile_uformer_full.py [region ...]
+Regions: full stft enc conf dec heads (default: all but `full` — bench.py
+already measures the full model, and each region costs a multi-minute
+remote compile through the tunnel).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -37,6 +44,7 @@ def timeit(name, fn, x, iters=32):
 
 
 def main():
+    which = set(sys.argv[1:]) or {"stft", "enc", "conf", "dec", "heads"}
     import flax.linen as nn
 
     from se_tpu.models.uformer import (
@@ -51,18 +59,20 @@ def main():
     key = jax.random.PRNGKey(0)
     wav = jnp.asarray(rng.standard_normal((B, N)), jnp.float32) * 0.1
 
-    # full model
-    model = Uformer()
-    vs = jax.jit(model.init)(key, wav[:1], wav[:1])
-    total = timeit("uformer full fwd", lambda w: model.apply(vs, w, w)[0],
-                   wav, iters=16)
+    total = 0.0
+    if "full" in which:
+        model = Uformer()
+        vs = jax.jit(model.init)(key, wav[:1], wav[:1])
+        total = timeit("uformer full fwd",
+                       lambda w: model.apply(vs, w, w)[0], wav, iters=16)
 
     # stft + istft
     def stft_istft(w):
         re, im = stft(w, PRESET_UFORMER)
         return istft(re, im, PRESET_UFORMER, length=N)
 
-    t_stft = timeit("stft+istft", jax.jit(stft_istft), wav)
+    t_stft = timeit("stft+istft", jax.jit(stft_istft), wav) \
+        if "stft" in which else 0.0
 
     # encoder (both branches + fusions, 6 levels)
     class Enc(nn.Module):
@@ -80,23 +90,28 @@ def main():
                 re, im, mag = fusion(re, im, mag)
             return re, im, mag
 
+    if "enc" not in which:
+        t_enc = 0.0
     f0 = 256
     re0 = jnp.asarray(rng.standard_normal((B, SRC_T, f0, 1)),
                       jnp.float32) * 0.1
-    enc = Enc()
-    vs_e = jax.jit(enc.init)(key, re0, re0, re0)
-    t_enc = timeit("encoder (6 lvls + fusion)",
-                   lambda t3: enc.apply(vs_e, *t3), (re0, re0, re0))
+    if "enc" in which:
+        enc = Enc()
+        vs_e = jax.jit(enc.init)(key, re0, re0, re0)
+        t_enc = timeit("encoder (6 lvls + fusion)",
+                       lambda t3: enc.apply(vs_e, *t3), (re0, re0, re0))
 
     # conformer at bottleneck
     cshape = (B, SRC_T, 4, 128)
     re_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
     im_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
     mg_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
-    conf = DilatedDualpathConformer()
-    vs_c = jax.jit(conf.init)(key, re_b, im_b, mg_b)
-    t_conf = timeit("conformer", lambda t3: conf.apply(vs_c, *t3),
-                    (re_b, im_b, mg_b))
+    t_conf = 0.0
+    if "conf" in which:
+        conf = DilatedDualpathConformer()
+        vs_c = jax.jit(conf.init)(key, re_b, im_b, mg_b)
+        t_conf = timeit("conformer", lambda t3: conf.apply(vs_c, *t3),
+                        (re_b, im_b, mg_b))
 
     # decoder (6 levels, skip-concat + transpose convs + BN/PReLU + fusion)
     class Dec(nn.Module):
@@ -128,11 +143,13 @@ def main():
                         jnp.float32) * 0.1
         skips_c.append((s, s))
         skips_m.append(s)
-    dec = Dec()
-    args = (re_b, im_b, mg_b, skips_c, skips_m)
-    vs_d = jax.jit(dec.init)(key, *args)
-    t_dec = timeit("decoder (6 lvls + fusion)",
-                   lambda a: dec.apply(vs_d, *a), args)
+    t_dec = 0.0
+    if "dec" in which:
+        dec = Dec()
+        args = (re_b, im_b, mg_b, skips_c, skips_m)
+        vs_d = jax.jit(dec.init)(key, *args)
+        t_dec = timeit("decoder (6 lvls + fusion)",
+                       lambda a: dec.apply(vs_d, *a), args)
 
     # heads: trig mask application + istft
     fm = 257
@@ -170,7 +187,8 @@ def main():
         return istft(out_re, out_im, PRESET_UFORMER, length=N)
 
     t_heads = timeit("heads (trig+istft)", jax.jit(heads),
-                     (dec_re, dec_im, dec_mag))
+                     (dec_re, dec_im, dec_mag)) \
+        if "heads" in which else 0.0
 
     acc = t_stft + t_enc + t_conf + t_dec + t_heads
     print(f"{'sum of regions':28s} {acc:8.2f} ms (full fwd {total:.2f})")

@@ -100,15 +100,24 @@ class CConvDec(nn.Module):
         kshape = (kh, kw, cin, self.features)
         kr, br = ConvParams(kshape, transpose=True, name="real_conv")()
         ki, bi = ConvParams(kshape, transpose=True, name="imag_conv")()
-        w = jnp.flip(interleave_complex_kernel(kr, ki), axis=(0, 1))
+        w_unflipped = interleave_complex_kernel(kr, ki)
         x = jnp.concatenate([re, im], axis=-1)
-        out = lax.conv_general_dilated(
-            x, w.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(kh - 1 - ph, kh - 1 - ph + oph),
-                     (kw - 1 - pw, kw - 1 - pw + opw)],
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        from se_tpu.nn.conv import phase_split_tconv_f
+
+        out = None
+        if (sh, sw) == (1, 2):
+            # phase-split stride-2-over-F transposed conv (see nn/conv.py)
+            out = phase_split_tconv_f(x, w_unflipped.astype(x.dtype),
+                                      ph, pw, oph, opw)
+        if out is None:
+            w = jnp.flip(w_unflipped, axis=(0, 1))
+            out = lax.conv_general_dilated(
+                x, w.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=[(kh - 1 - ph, kh - 1 - ph + oph),
+                         (kw - 1 - pw, kw - 1 - pw + opw)],
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         out = out + interleave_complex_bias(br, bi).astype(out.dtype)
         return (out[:, :t_in, :, : self.features],
                 out[:, :t_in, :, self.features :])
@@ -491,18 +500,27 @@ class Uformer(nn.Module):
         out_len = (t_frames - 1) * cfg.hop
         src_rt = istft(s_re, s_im, cfg, length=out_len)
 
+        # cos/sin of atan2(b + EPS, a) computed algebraically as
+        # (a, b + EPS) / hypot — no transcendentals; same values as the
+        # reference's cos(atan2)/sin(atan2) chains to fp32 round-off
+        # (ref uformer.py:185-205; the VPU trig chain costs ~10x a rsqrt)
+        def unit_phase(a, b):
+            bb = b + EPS
+            inv = lax.rsqrt(a * a + bb * bb)
+            return a * inv, bb * inv
+
         s_mag = jnp.sqrt(jnp.maximum(s_re**2 + s_im**2, EPS))
-        s_pha = jnp.arctan2(s_im + EPS, s_re)
+        s_cos, s_sin = unit_phase(s_re, s_im)
         if self.compressed:
             s_mag = s_mag**0.5
-        src_cplx = (s_mag * jnp.cos(s_pha), s_mag * jnp.sin(s_pha))
+        src_cplx = (s_mag * s_cos, s_mag * s_sin)
 
         mag_full = jnp.sqrt(jnp.maximum(n_re**2 + n_im**2, EPS))
-        phase = jnp.arctan2(n_im + EPS, n_re)
+        cos_p, sin_p = unit_phase(n_re, n_im)
         if self.compressed:
             mag_full = mag_full**0.5
-        re = (mag_full * jnp.cos(phase))[..., 1:, None]  # strip DC, add C
-        im = (mag_full * jnp.sin(phase))[..., 1:, None]
+        re = (mag_full * cos_p)[..., 1:, None]  # strip DC, add C
+        im = (mag_full * sin_p)[..., 1:, None]
         mag = mag_full[..., 1:, None]
 
         skips_c, skips_m = [], []
@@ -547,21 +565,27 @@ class Uformer(nn.Module):
         real_phase = mask_re / (mask_mags + EPS)
         imag_phase = mask_im / (mask_mags + EPS)
         mask_mags = jnp.tanh(mask_mags + EPS)
-        mask_phase = jnp.arctan2(imag_phase + EPS, real_phase)
+        # est_phase = phase + atan2(imag_phase + EPS, real_phase): apply
+        # the rotation with the angle-sum identity on the unit vectors
+        # (cos_m, sin_m) — algebraic, no trig (ref uformer.py:243-257)
+        cos_m, sin_m = unit_phase(real_phase, imag_phase)
         mask_mags = jnp.pad(mask_mags, ((0, 0), (0, 0), (1, 0)))
-        mask_phase = jnp.pad(mask_phase, ((0, 0), (0, 0), (1, 0)))
+        cos_m = jnp.pad(cos_m, ((0, 0), (0, 0), (1, 0)),
+                        constant_values=1.0)  # DC: mask_phase = 0
+        sin_m = jnp.pad(sin_m, ((0, 0), (0, 0), (1, 0)))
+        cos_est = cos_p * cos_m - sin_p * sin_m
+        sin_est = sin_p * cos_m + cos_p * sin_m
 
         est_mags = mask_mags * mag_full
-        est_phase = phase + mask_phase
         mag_fused = (est_mags + mag) * 0.5
 
-        out_re = mag_fused * jnp.cos(est_phase)
-        out_im = mag_fused * jnp.sin(est_phase)
+        out_re = mag_fused * cos_est
+        out_im = mag_fused * sin_est
         out_cplx = (out_re, out_im)
         if self.compressed:
             mag_fused = mag_fused**2
-            out_re = mag_fused * jnp.cos(est_phase)
-            out_im = mag_fused * jnp.sin(est_phase)
+            out_re = mag_fused * cos_est
+            out_im = mag_fused * sin_est
         est = istft(out_re, out_im, cfg, length=out_len)
         return est, src_rt, out_cplx, src_cplx
 

@@ -137,6 +137,61 @@ class Conv2d(nn.Module):
         return out
 
 
+def phase_split_tconv_f(x: jnp.ndarray, kernel: jnp.ndarray,
+                        ph: int, pw: int, oph: int, opw: int):
+    """Stride-(1, 2) transposed conv over F via PHASE SPLITTING: even/odd
+    output columns are two stride-1 convolutions over the un-dilated input,
+    emitted as ONE conv with doubled output channels plus a free
+    channel->F reshape interleave.
+
+    The lhs_dilation formulation inserts a zero between every input column,
+    so half the kernel taps multiply zeros — wasted MACs and a poor fit for
+    the conv emitter. Splitting by output parity removes the zeros: each
+    phase sees only the taps of its parity (ceil(kw/2) / floor(kw/2) wide).
+
+    `kernel` is the UNFLIPPED (kh, kw, cin, cout) torch-layout weight, as
+    stored by ConvTranspose2d/CConvDec. Returns exactly what
+    lax.conv_general_dilated(x, flip(kernel), lhs_dilation=(1, 2),
+    padding=[(kh-1-ph, kh-1-ph+oph), (kw-1-pw, kw-1-pw+opw)]) returns, or
+    None when the geometry doesn't phase-split cleanly (odd output width /
+    negative pads) — callers fall back to the dilated path.
+    """
+    kh, kw, cin, cout = kernel.shape
+    w_in = x.shape[2]
+    w_out = (w_in - 1) * 2 - 2 * pw + kw + opw
+    if w_out % 2 != 0 or w_out <= 0:
+        return None
+    half = w_out // 2
+    pl = kw - 1 - pw  # left pad of the dilated formulation
+    wf = jnp.flip(kernel, axis=(0, 1))
+    # phase p taps: wf[:, k0_p::2]; x offset off_p per output index
+    k0 = [(pl - p) % 2 for p in (0, 1)]
+    n_p = [len(range(k0[p], kw, 2)) for p in (0, 1)]
+    off = [(p + k0[p] - pl) // 2 for p in (0, 1)]
+    pad_l = max(-off[0], -off[1], 0)
+    width = max(n_p[0] + pad_l + off[0], n_p[1] + pad_l + off[1])
+    pad_r = half - 1 - (w_in + pad_l - width)
+    if pad_r < 0 or min(n_p) == 0:
+        return None
+    # combined kernel: (kh, width, cin, 2, cout), p-major on the split
+    # channel so (B, T, half, 2*cout) -> (B, T, 2*half, cout) is a pure
+    # reshape interleave
+    wcomb = jnp.zeros((kh, width, cin, 2, cout), kernel.dtype)
+    for p in (0, 1):
+        taps = wf[:, k0[p]::2]  # (kh, n_p, cin, cout)
+        u0 = pad_l + off[p]
+        wcomb = wcomb.at[:, u0 : u0 + n_p[p], :, p, :].set(taps)
+    out = lax.conv_general_dilated(
+        x,
+        wcomb.reshape(kh, width, cin, 2 * cout).astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(kh - 1 - ph, kh - 1 - ph + oph), (pad_l, pad_r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b, t_out = out.shape[:2]
+    return out.reshape(b, t_out, half * 2, cout)
+
+
 class ConvTranspose2d(nn.Module):
     """torch.nn.ConvTranspose2d-equivalent (VALID base padding).
 
@@ -168,16 +223,24 @@ class ConvTranspose2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             self.param_dtype,
         )
-        flipped = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
-        out = lax.conv_general_dilated(
-            x,
-            flipped,
-            window_strides=(1, 1),
-            padding=[(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)],
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        out = None
+        if (sh, sw) == (1, 2) and self.groups == 1:
+            # stride-2-over-F decoders (the whole U-net zoo): phase-split
+            # into one stride-1 conv — no inserted zeros, ~2x fewer MACs
+            out = phase_split_tconv_f(x, kernel.astype(x.dtype),
+                                      ph, pw, oph, opw)
+        if out is None:
+            flipped = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
+            out = lax.conv_general_dilated(
+                x,
+                flipped,
+                window_strides=(1, 1),
+                padding=[(kh - 1 - ph, kh - 1 - ph + oph),
+                         (kw - 1 - pw, kw - 1 - pw + opw)],
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

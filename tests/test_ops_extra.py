@@ -88,3 +88,48 @@ def test_pre_emphasis(rng):
         np.asarray(y[:, 1:]), np.asarray(x[:, 1:] - 0.97 * x[:, :-1]),
         rtol=1e-6)
 
+
+
+class TestPhaseSplitTconv:
+    """phase_split_tconv_f must match the lhs_dilation formulation exactly
+    for every stride-(1,2) decoder geometry in the zoo."""
+
+    @pytest.mark.parametrize("kh,kw,pw,opw,ph,oph", [
+        (2, 5, 2, 1, 0, 0),   # uformer CConvDec/RConvDec
+        (2, 3, 0, 1, 0, 0),
+        (1, 3, 1, 1, 0, 0),
+        (3, 5, 2, 1, 1, 0),
+        (2, 4, 1, 0, 0, 0),
+    ])
+    def test_matches_dilated(self, rng, kh, kw, pw, opw, ph, oph):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from se_tpu.nn.conv import phase_split_tconv_f
+
+        b, t, f, cin, cout = 2, 7, 6, 5, 4
+        x = jnp.asarray(rng.standard_normal((b, t, f, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((kh, kw, cin, cout)),
+                        jnp.float32)
+        got = phase_split_tconv_f(x, k, ph, pw, oph, opw)
+        want = lax.conv_general_dilated(
+            x, jnp.flip(k, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oph),
+                     (kw - 1 - pw, kw - 1 - pw + opw)],
+            lhs_dilation=(1, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert got is not None
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_odd_output_width_falls_back(self, rng):
+        import jax.numpy as jnp
+
+        from se_tpu.nn.conv import phase_split_tconv_f
+
+        x = jnp.zeros((1, 3, 6, 2), jnp.float32)
+        k = jnp.zeros((1, 3, 2, 2), jnp.float32)
+        # kw=3, pw=0, opw=0 -> W_out = 2*6-2+3 = 13 (odd) -> None
+        assert phase_split_tconv_f(x, k, 0, 0, 0, 0) is None
