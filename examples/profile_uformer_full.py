@@ -30,8 +30,12 @@ def timeit(name, fn, x, iters=32):
     def run_n(v):
         def body(_, carry):
             out = fn(carry)
-            return jax.tree.map(
-                lambda a, b: a + 1e-6 * b.astype(a.dtype), x, out)
+            # fold a scalar tap of the output back into every input leaf:
+            # keeps carry shapes identical to the inputs (region outputs
+            # have different shapes) while making each iteration depend on
+            # the previous one (cache-safe chaining)
+            tap = sum(jnp.sum(o) for o in jax.tree.leaves(out)) * 1e-9
+            return jax.tree.map(lambda a: a + tap.astype(a.dtype), carry)
         return jax.lax.fori_loop(0, iters, body, v)
 
     warm = run_n(x)

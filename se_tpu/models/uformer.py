@@ -103,9 +103,10 @@ class CConvDec(nn.Module):
         w_unflipped = interleave_complex_kernel(kr, ki)
         x = jnp.concatenate([re, im], axis=-1)
         from se_tpu.nn.conv import phase_split_tconv_f
+        from se_tpu.utils.envflags import env_flag
 
         out = None
-        if (sh, sw) == (1, 2):
+        if (sh, sw) == (1, 2) and not env_flag("SE_TPU_DISABLE_PHASE_SPLIT"):
             # phase-split stride-2-over-F transposed conv (see nn/conv.py)
             out = phase_split_tconv_f(x, w_unflipped.astype(x.dtype),
                                       ph, pw, oph, opw)
@@ -397,6 +398,19 @@ def _dsconv_params(self, c_in: int, cc: int, ncomp: int):
             ws.reshape(tot, ncomp * c_in), bs[None])
 
 
+class _DSConvParamsHolder(nn.Module):
+    """Creates exactly the param tree of DSConvCplx/DSConvReal (same child
+    module names via _dsconv_params) without running the block — the fused
+    pair kernel consumes both branches' params in one dispatch."""
+
+    conv_channels: int
+    ncomp: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        return _dsconv_params(self, c_in, self.conv_channels, self.ncomp)
+
+
 class DSConvCplx(nn.Module):
     """Gated dilated DSConv block (ref dsconv2d_cplx.py:11-60). Dilation on
     T, symmetric padding (non-causal), per-component gating.
@@ -462,14 +476,40 @@ class DilatedDualpathConformer(nn.Module):
         mag = RealAxialAtt("f", name="mag_fatt")(mag, deterministic)
         re, im, mag = fusion(re, im, mag)
 
+        import jax
+
+        from se_tpu.utils.envflags import env_flag
+
+        # fused pair only where the Pallas kernel actually runs: on CPU the
+        # jnp fallback's 8 inlined im2col stages blow XLA:CPU compile time
+        # (>25 min for jit(init)) with zero benefit over the composed path
+        platform = jax.devices()[0].platform
+        use_pair = (platform in ("tpu", "axon")
+                    and not env_flag("SE_TPU_DISABLE_PALLAS_DSCONV"))
         n = len(DILATIONS)
         for idx, d in enumerate(DILATIONS):
             d2 = DILATIONS[n - idx - 1]
-            re, im = DSConvCplx(32, d, d2, name=f"dsconv_cplx{idx}")(
-                re, im, deterministic)
-            mag = DSConvReal(32, d, d2, name=f"dsconv_real{idx}")(
-                mag, deterministic)
-            re, im, mag = fusion(re, im, mag)
+            if deterministic and use_pair:
+                # fused stage: cplx block + real block + fusion in ONE
+                # pallas dispatch (se_tpu/ops/pallas_dsconv.py); param
+                # tree identical to the composed modules below
+                from se_tpu.ops.pallas_dsconv import dsconv_pair_block
+
+                c_in = re.shape[-1]
+                pc = _DSConvParamsHolder(32, 2,
+                                         name=f"dsconv_cplx{idx}")(c_in)
+                pm = _DSConvParamsHolder(32, 1,
+                                         name=f"dsconv_real{idx}")(
+                    mag.shape[-1])
+                xc = jnp.concatenate([re, im], axis=-1)
+                yc, mag = dsconv_pair_block(xc, mag, pc, pm, d, d2)
+                re, im = yc[..., :c_in], yc[..., c_in:]
+            else:
+                re, im = DSConvCplx(32, d, d2, name=f"dsconv_cplx{idx}")(
+                    re, im, deterministic)
+                mag = DSConvReal(32, d, d2, name=f"dsconv_real{idx}")(
+                    mag, deterministic)
+                re, im, mag = fusion(re, im, mag)
 
         re, im = FFCplx(name="ff2_cplx")(re, im, deterministic)
         mag = FFReal(name="ff2_mag")(mag, deterministic)

@@ -223,8 +223,11 @@ class ConvTranspose2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             self.param_dtype,
         )
+        from se_tpu.utils.envflags import env_flag
+
         out = None
-        if (sh, sw) == (1, 2) and self.groups == 1:
+        if ((sh, sw) == (1, 2) and self.groups == 1
+                and not env_flag("SE_TPU_DISABLE_PHASE_SPLIT")):
             # stride-2-over-F decoders (the whole U-net zoo): phase-split
             # into one stride-1 conv — no inserted zeros, ~2x fewer MACs
             out = phase_split_tconv_f(x, kernel.astype(x.dtype),

@@ -182,3 +182,119 @@ def dsconv_block(x, params, d1: int, d2: int, ncomp: int,
             return _reference(x, tuple(params), d1, d2, ncomp)
         return mapped(x, *params)
     return fn(x, *params)
+
+
+# ------------------------------------------------- fused cplx+real+fusion
+
+_FUSION_EPS = 1.1920929e-07  # np.finfo(np.float32).eps (fusion.py EPSILON)
+
+
+def _pair_math(xc, xm, pc, pm, d1: int, d2: int):
+    """One conformer DSConv stage on one batch item: complex block
+    (ncomp=2, channel-concat [re | im]) + real block (ncomp=1) + the
+    cross-branch fusion (ref fusion.py:13-19) — everything in VMEM."""
+    yc = _block_math(xc, pc, d1, d2, ncomp=2)
+    ym = _block_math(xm, pm, d1, d2, ncomp=1)
+    c = yc.shape[-1] // 2
+    re, im = yc[..., :c], yc[..., c:]
+    cplx_mag = jnp.sqrt(jnp.maximum(re * re + im * im, _FUSION_EPS))
+    mag_out = ym + jax.nn.sigmoid(cplx_mag)
+    s = jax.nn.sigmoid(ym)
+    return jnp.concatenate([re + s, im + s], axis=-1), mag_out
+
+
+def _squeeze_params(refs):
+    (g1, b1, w1, bb1, alpha, wd1, bd1, wd2, bd2, g2, b2, ws, bs) = refs
+    return (g1[0], b1[0], w1, bb1[0], alpha[0, 0], wd1, bd1[0],
+            wd2, bd2[0], g2[0], b2[0], ws, bs[0])
+
+
+def _pair_kernel(xc_ref, xm_ref, *refs, d1: int, d2: int):
+    oc_ref, om_ref = refs[-2], refs[-1]
+    vals = tuple(r[:] for r in refs[:-2])
+    pc = _squeeze_params(vals[:13])
+    pm = _squeeze_params(vals[13:])
+    yc, ym = _pair_math(xc_ref[0].astype(jnp.float32),
+                        xm_ref[0].astype(jnp.float32), pc, pm, d1, d2)
+    oc_ref[0] = yc.astype(oc_ref.dtype)
+    om_ref[0] = ym.astype(om_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("d1", "d2", "interpret"))
+def _pallas_pair(xc, xm, params, d1: int, d2: int, interpret: bool):
+    b, t, f, cc = xc.shape
+    cm = xm.shape[-1]
+    kernel = functools.partial(_pair_kernel, d1=d1, d2=d2)
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    item = lambda ch: pl.BlockSpec((1, t, f, ch), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[item(cc), item(cm)] + [full(p) for p in params],
+        out_specs=[item(cc), item(cm)],
+        out_shape=[jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                   jax.ShapeDtypeStruct(xm.shape, xm.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xc, xm, *params)
+
+
+def _pair_reference(xc, xm, params, d1: int, d2: int):
+    pc = _squeeze_params(params[:13])
+    pm = _squeeze_params(params[13:])
+    yc, ym = jax.vmap(
+        lambda a, b2: _pair_math(a.astype(jnp.float32),
+                                 b2.astype(jnp.float32), pc, pm, d1, d2)
+    )(xc, xm)
+    return yc.astype(xc.dtype), ym.astype(xm.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _pair_fused(d1: int, d2: int, interpret: bool):
+    @jax.custom_vjp
+    def f(xc, xm, *params):
+        return _pallas_pair(xc, xm, params, d1, d2, interpret)
+
+    def fwd(xc, xm, *params):
+        return _pallas_pair(xc, xm, params, d1, d2, interpret), \
+            (xc, xm) + params
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda xc, xm, *p: _pair_reference(xc, xm, p, d1, d2),
+            *res)
+        gc, gm = g
+        return vjp((gc.astype(res[0].dtype), gm.astype(res[1].dtype)))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dsconv_pair_block(xc, xm, params_c, params_m, d1: int, d2: int,
+                      interpret: bool | None = None):
+    """One conformer stage — complex DSConv (channel-concat xc), real
+    DSConv (xm), and the cross-branch fusion — as ONE pallas_call per
+    batch item (two dispatches + an XLA elementwise pass otherwise).
+    params_c/params_m are the 13-tuples of dsconv_block."""
+    from se_tpu.parallel.mesh import active_mesh, shard_map_leading
+    from se_tpu.utils.envflags import env_flag
+
+    params = tuple(params_c) + tuple(params_m)
+    if interpret is None:
+        platform = jax.devices()[0].platform
+        if (platform not in ("tpu", "axon")
+                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")):
+            return _pair_reference(xc, xm, params, d1, d2)
+        interpret = False
+    fn = _pair_fused(d1, d2, bool(interpret))
+    mesh = active_mesh()
+    if mesh is not None:
+        mapped = shard_map_leading(fn, mesh, xc.shape[0], n_mapped=2,
+                                   n_replicated=len(params))
+        if mapped is None:
+            return _pair_reference(xc, xm, params, d1, d2)
+        return mapped(xc, xm, *params)
+    return fn(xc, xm, *params)

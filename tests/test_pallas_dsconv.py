@@ -104,3 +104,92 @@ def test_dsconv_module_composed_equivalence(rng):
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_i), np.asarray(im + zi),
                                atol=3e-5)
+
+
+def test_dsconv_pair_matches_composed(rng):
+    """dsconv_pair_block (cplx + real + fusion in one dispatch) must match
+    the composed dsconv_block + dsconv_block + fusion path."""
+    import jax.numpy as jnp
+
+    from se_tpu.ops.pallas_dsconv import (
+        _reference, dsconv_pair_block,
+    )
+
+    b, t, f, c, cm = 3, 16, 4, 8, 8
+
+    def mk(c_in, tot, r):
+        return (
+            jnp.ones((1, c_in)), jnp.zeros((1, c_in)),
+            jnp.asarray(r.standard_normal((c_in, tot)) * 0.1, jnp.float32),
+            jnp.zeros((1, tot)), jnp.full((1, 1), 0.25, jnp.float32),
+            jnp.asarray(r.standard_normal((9 * tot, tot)) * 0.1,
+                        jnp.float32),
+            jnp.zeros((1, tot)),
+            jnp.asarray(r.standard_normal((9 * tot, tot)) * 0.1,
+                        jnp.float32),
+            jnp.zeros((1, tot)),
+            jnp.ones((1, tot)), jnp.zeros((1, tot)),
+            jnp.asarray(r.standard_normal((tot, c_in)) * 0.1, jnp.float32),
+            jnp.zeros((1, c_in)),
+        )
+
+    pc = mk(2 * c, 2 * cm, rng)   # complex: channel-concat, ncomp=2
+    pm = mk(c, cm, rng)           # real: ncomp=1
+    xc = jnp.asarray(rng.standard_normal((b, t, f, 2 * c)), jnp.float32)
+    xm = jnp.asarray(rng.standard_normal((b, t, f, c)), jnp.float32)
+
+    yc_ref = _reference(xc, pc, 1, 2, ncomp=2)
+    ym_ref = _reference(xm, pm, 1, 2, ncomp=1)
+    import flax.linen as nn
+
+    eps = 1.1920929e-07
+    re, im = yc_ref[..., :c], yc_ref[..., c:]
+    cmag = jnp.sqrt(jnp.maximum(re**2 + im**2, eps))
+    m_out = ym_ref + nn.sigmoid(cmag)
+    s = nn.sigmoid(ym_ref)
+    want_c = jnp.concatenate([re + s, im + s], axis=-1)
+
+    got_c, got_m = dsconv_pair_block(xc, xm, pc, pm, 1, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(m_out),
+                               atol=2e-5)
+
+
+def test_dsconv_pair_grad_flows(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from se_tpu.ops.pallas_dsconv import dsconv_pair_block
+
+    b, t, f, c, cm = 2, 8, 4, 8, 8
+    r = rng
+
+    def mk(c_in, tot):
+        return (
+            jnp.ones((1, c_in)), jnp.zeros((1, c_in)),
+            jnp.asarray(r.standard_normal((c_in, tot)) * 0.1, jnp.float32),
+            jnp.zeros((1, tot)), jnp.full((1, 1), 0.25, jnp.float32),
+            jnp.asarray(r.standard_normal((9 * tot, tot)) * 0.1,
+                        jnp.float32),
+            jnp.zeros((1, tot)),
+            jnp.asarray(r.standard_normal((9 * tot, tot)) * 0.1,
+                        jnp.float32),
+            jnp.zeros((1, tot)),
+            jnp.ones((1, tot)), jnp.zeros((1, tot)),
+            jnp.asarray(r.standard_normal((tot, c_in)) * 0.1, jnp.float32),
+            jnp.zeros((1, c_in)),
+        )
+
+    pc, pm = mk(2 * c, 2 * cm), mk(c, cm)
+    xc = jnp.asarray(rng.standard_normal((b, t, f, 2 * c)), jnp.float32)
+    xm = jnp.asarray(rng.standard_normal((b, t, f, c)), jnp.float32)
+
+    def loss(xc, xm):
+        yc, ym = dsconv_pair_block(xc, xm, pc, pm, 1, 1, interpret=True)
+        return jnp.mean(yc**2) + jnp.mean(ym**2)
+
+    gc, gm = jax.grad(loss, argnums=(0, 1))(xc, xm)
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.isfinite(np.asarray(gm)).all()
+    assert float(jnp.abs(gc).sum()) > 0 and float(jnp.abs(gm).sum()) > 0
