@@ -5,6 +5,11 @@ Usage: python examples/diag_kernels.py [dsconv|attention|uformer]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -11,6 +11,11 @@ e.g. python examples/train_synthetic_demo.py uformer 40 8
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -355,11 +355,14 @@ class _CConvWeights(nn.Module):
     """Interleaved complex conv weights with CConvEnc's param tree."""
 
     kshape: tuple[int, int, int, int]
+    transpose: bool = False
 
     @nn.compact
     def __call__(self):
-        kr, br = ConvParams(self.kshape, name="real_conv")()
-        ki, bi = ConvParams(self.kshape, name="imag_conv")()
+        kr, br = ConvParams(self.kshape, transpose=self.transpose,
+                            name="real_conv")()
+        ki, bi = ConvParams(self.kshape, transpose=self.transpose,
+                            name="imag_conv")()
         return (interleave_complex_kernel(kr, ki),
                 interleave_complex_bias(br, bi))
 
@@ -368,10 +371,52 @@ class _RConvWeights(nn.Module):
     """Plain conv weights with RConvEnc's param tree."""
 
     kshape: tuple[int, int, int, int]
+    transpose: bool = False
 
     @nn.compact
     def __call__(self):
-        return ConvParams(self.kshape, name="conv")()
+        return ConvParams(self.kshape, transpose=self.transpose,
+                          name="conv")()
+
+
+class _BNAffine(nn.Module):
+    """Eval-mode BatchNorm folded to per-channel (scale, shift); tree
+    identical to flax nn.BatchNorm (params scale/bias, batch_stats
+    mean/var) so checkpoints and reference conversions are unchanged."""
+
+    ch: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        inv = lax.rsqrt(var.value + self.eps) * scale
+        return inv, bias - mean.value * inv
+
+
+class _BNWrap(nn.Module):
+    """BatchNorm(name='bn') wrapper tree (nn/norms.BatchNorm)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNAffine(self.ch, name="bn")()
+
+
+class _ComplexBNAffine(nn.Module):
+    """ComplexBN(name='bn3d') wrapper tree (shared re/im stats)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNWrap(self.ch, name="bn3d")()
 
 
 def _dsconv_params(self, c_in: int, cc: int, ncomp: int):
@@ -579,8 +624,48 @@ class Uformer(nn.Module):
         re, im, mag = DilatedDualpathConformer(name="conformer")(
             re, im, mag, deterministic)
 
+        import jax as _jax
+
+        from se_tpu.utils.envflags import env_flag as _env_flag
+
+        # fused decoder levels on TPU eval: skip-concat + phase-split
+        # transposed conv + BN + PReLU + fusion as ONE Pallas dispatch per
+        # level (ops/pallas_decoder.py). Level 5 (C_out=1, lane dim 2)
+        # keeps the XLA path — 1-2 channel outputs waste VMEM tiles.
+        use_dec_kernel = (
+            deterministic
+            and (_jax.devices()[0].platform in ("tpu", "axon")
+                 or _env_flag("SE_TPU_FORCE_PALLAS_DECODER"))
+            and not _env_flag("SE_TPU_DISABLE_PALLAS_DECODER"))
         for i in range(6):
             skip_re, skip_im = skips_c[-1 - i]
+            if use_dec_kernel and i < 5:
+                from se_tpu.ops.pallas_decoder import (
+                    decoder_level, split_phase_weights,
+                )
+
+                c_comp = skip_re.shape[-1] + re.shape[-1]
+                cout = KERNELS[5 - i]
+                wc, bc = _CConvWeights((2, 5, c_comp, cout),
+                                       transpose=True, name=f"dec{i}")()
+                wce, wco = split_phase_weights(wc)
+                wm, bm = _RConvWeights((2, 5, c_comp, cout),
+                                       transpose=True,
+                                       name=f"dec_real{i}")()
+                wme, wmo = split_phase_weights(wm)
+                invc, shc = _ComplexBNAffine(cout, name=f"dec_bn{i}")()
+                invm, shm = _BNWrap(cout, name=f"dec_real_bn{i}")()
+                ac = _PReLUParams(name=f"dec_act{i}")()
+                am = _PReLUParams(name=f"dec_real_act{i}")()
+                xc = jnp.concatenate([skip_re, re, skip_im, im], axis=-1)
+                xm = jnp.concatenate([skips_m[-1 - i], mag], axis=-1)
+                pc = (wce, wco, bc[None], jnp.tile(invc, 2)[None],
+                      jnp.tile(shc, 2)[None], ac[None, None])
+                pm = (wme, wmo, bm[None], invm[None], shm[None],
+                      am[None, None])
+                yc, mag = decoder_level(xc, xm, pc + pm, has_bn=True)
+                re, im = yc[..., :cout], yc[..., cout:]
+                continue
             # decoder cat order: [skip, x] (ref uformer.py:226-231)
             re = jnp.concatenate([skip_re, re], axis=-1)
             im = jnp.concatenate([skip_im, im], axis=-1)
