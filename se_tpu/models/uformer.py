@@ -608,16 +608,48 @@ class Uformer(nn.Module):
         im = (mag_full * sin_p)[..., 1:, None]
         mag = mag_full[..., 1:, None]
 
+        import jax as _jax
+
+        from se_tpu.utils.envflags import env_flag as _env_flag
+
+        # fused encoder levels on TPU eval (ops/pallas_encoder.py): conv +
+        # BN + PReLU + fusion for both branches in ONE dispatch per level
+        use_enc_kernel = (
+            deterministic
+            and (_jax.devices()[0].platform in ("tpu", "axon")
+                 or _env_flag("SE_TPU_FORCE_PALLAS_ENCODER"))
+            and not _env_flag("SE_TPU_DISABLE_PALLAS_ENCODER"))
         skips_c, skips_m = [], []
         for i in range(6):
-            re, im = CConvEnc(KERNELS[i + 1], name=f"enc{i}")(re, im)
-            re, im = ComplexBN(name=f"enc_bn{i}")(re, im, train=train)
-            act = PReLU(None, name=f"enc_act{i}")
-            re, im = act(re), act(im)
-            mag = RConvEnc(KERNELS[i + 1], name=f"enc_real{i}")(mag)
-            mag = BatchNorm(name=f"enc_real_bn{i}")(mag, use_running_average=not train)
-            mag = PReLU(None, name=f"enc_real_act{i}")(mag)
-            re, im, mag = fusion(re, im, mag)
+            if use_enc_kernel:
+                from se_tpu.ops.pallas_encoder import encoder_level
+
+                cin = re.shape[-1]
+                cout = KERNELS[i + 1]
+                wc, bc = _CConvWeights((2, 5, cin, cout),
+                                       name=f"enc{i}")()
+                wm, bm = _RConvWeights((2, 5, cin, cout),
+                                       name=f"enc_real{i}")()
+                invc, shc = _ComplexBNAffine(cout, name=f"enc_bn{i}")()
+                invm, shm = _BNWrap(cout, name=f"enc_real_bn{i}")()
+                ac = _PReLUParams(name=f"enc_act{i}")()
+                am = _PReLUParams(name=f"enc_real_act{i}")()
+                xc = jnp.concatenate([re, im], axis=-1)
+                pc = (wc, bc[None], jnp.tile(invc, 2)[None],
+                      jnp.tile(shc, 2)[None], ac[None, None])
+                pm = (wm, bm[None], invm[None], shm[None],
+                      am[None, None])
+                yc, mag = encoder_level(xc, mag, pc + pm)
+                re, im = yc[..., :cout], yc[..., cout:]
+            else:
+                re, im = CConvEnc(KERNELS[i + 1], name=f"enc{i}")(re, im)
+                re, im = ComplexBN(name=f"enc_bn{i}")(re, im, train=train)
+                act = PReLU(None, name=f"enc_act{i}")
+                re, im = act(re), act(im)
+                mag = RConvEnc(KERNELS[i + 1], name=f"enc_real{i}")(mag)
+                mag = BatchNorm(name=f"enc_real_bn{i}")(mag, use_running_average=not train)
+                mag = PReLU(None, name=f"enc_real_act{i}")(mag)
+                re, im, mag = fusion(re, im, mag)
             skips_c.append((re, im))
             skips_m.append(mag)
 
