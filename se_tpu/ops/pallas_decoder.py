@@ -97,7 +97,8 @@ def _kernel(xc_ref, xm_ref, *refs, has_bn: bool):
     vals = [r[:] for r in refs[:-2]]
     def unpack(v):
         w_e, w_o, b, s, t, a = v
-        return (w_e, w_o, b[0], s[0], t[0], a[0, 0])
+        # Mosaic can only squeeze 32-bit scalars: cast a before [0, 0]
+        return (w_e, w_o, b[0], s[0], t[0], a.astype(jnp.float32)[0, 0])
     pc = unpack(vals[:6])
     pm = unpack(vals[6:12])
     yc, ym = _level_math(xc_ref[0].astype(jnp.float32),

@@ -98,7 +98,9 @@ def _kernel(x_ref, *refs, d1: int, d2: int, ncomp: int):
     # scalars arrive as (1, 1); biases as (1, C) — squeeze to kernel shapes
     (g1, b1, w1, bb1, alpha, wd1, bd1, wd2, bd2,
      g2, b2, ws, bs) = params
-    params = (g1[0], b1[0], w1, bb1[0], alpha[0, 0], wd1, bd1[0],
+    # Mosaic can only squeeze 32-bit scalars: cast alpha before [0, 0]
+    params = (g1[0], b1[0], w1, bb1[0],
+              alpha.astype(jnp.float32)[0, 0], wd1, bd1[0],
               wd2, bd2[0], g2[0], b2[0], ws, bs[0])
     x = x_ref[0].astype(jnp.float32)
     o_ref[0] = _block_math(x, params, d1, d2, ncomp).astype(o_ref.dtype)
@@ -205,8 +207,9 @@ def _pair_math(xc, xm, pc, pm, d1: int, d2: int):
 
 def _squeeze_params(refs):
     (g1, b1, w1, bb1, alpha, wd1, bd1, wd2, bd2, g2, b2, ws, bs) = refs
-    return (g1[0], b1[0], w1, bb1[0], alpha[0, 0], wd1, bd1[0],
-            wd2, bd2[0], g2[0], b2[0], ws, bs[0])
+    # Mosaic can only squeeze 32-bit scalars: cast alpha before [0, 0]
+    return (g1[0], b1[0], w1, bb1[0], alpha.astype(jnp.float32)[0, 0],
+            wd1, bd1[0], wd2, bd2[0], g2[0], b2[0], ws, bs[0])
 
 
 def _pair_kernel(xc_ref, xm_ref, *refs, d1: int, d2: int):

@@ -76,7 +76,8 @@ def _kernel(xc_ref, xm_ref, *refs):
 
     def unpack(v):
         w, b, s, t, a = v
-        return (w, b[0], s[0], t[0], a[0, 0])
+        # Mosaic can only squeeze 32-bit scalars: cast a before [0, 0]
+        return (w, b[0], s[0], t[0], a.astype(jnp.float32)[0, 0])
 
     pc = unpack(vals[:5])
     pm = unpack(vals[5:10])
