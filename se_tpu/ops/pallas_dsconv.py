@@ -131,13 +131,45 @@ def _pallas_dsconv(x, params, d1: int, d2: int, ncomp: int,
 
 
 def _reference(x, params, d1: int, d2: int, ncomp: int):
+    """Composed-op reference of the same block (lax.conv / dense — the
+    compile-friendly fallback and VJP recompute path; inlining the
+    kernel's im2col math through vmap blows XLA compile memory: the
+    remote TPU compiler's helper got OOM-killed on a 16-block graph and
+    XLA:CPU took >25 min for jit(init))."""
+    from jax import lax
+
     (g1, b1, w1, bb1, alpha, wd1, bd1, wd2, bd2,
      g2, b2, ws, bs) = params
-    p = (g1[0], b1[0], w1, bb1[0], alpha[0, 0], wd1, bd1[0], wd2, bd2[0],
-         g2[0], b2[0], ws, bs[0])
-    return jax.vmap(
-        lambda xi: _block_math(xi.astype(jnp.float32), p, d1, d2, ncomp)
-    )(x).astype(x.dtype)
+    tot = w1.shape[1]
+    x32 = x.astype(jnp.float32)
+
+    def ln(z, g, b):
+        c = z.shape[-1] // ncomp
+        zs = z.reshape(z.shape[:-1] + (ncomp, c))
+        mu = zs.mean(-1, keepdims=True)
+        var = jnp.square(zs - mu).mean(-1, keepdims=True)
+        zn = ((zs - mu) * jax.lax.rsqrt(var + _LN_EPS)).reshape(z.shape)
+        return zn * g[0] + b[0]
+
+    y = ln(x32, g1, b1)
+    y = y @ w1 + bb1[0]
+    y = _prelu(y, alpha[0, 0])
+
+    def dconv(w9, b, d):
+        # w9 rows are (i, j, cin) — exactly HWIO when reshaped
+        w = w9.reshape(3, 3, tot, tot)
+        return lax.conv_general_dilated(
+            y, w.astype(y.dtype), window_strides=(1, 1),
+            padding=((d, d), (1, 1)), rhs_dilation=(d, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b[0]
+
+    a = dconv(wd1, bd1, d1)
+    g = dconv(wd2, bd2, d2)
+    z = a * jax.nn.sigmoid(g)
+    z = ln(z, g2, b2)
+    z = z * jax.nn.sigmoid(z)
+    out = z @ ws + bs[0]
+    return (x32 + out).astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -246,13 +278,17 @@ def _pallas_pair(xc, xm, params, d1: int, d2: int, interpret: bool):
 
 
 def _pair_reference(xc, xm, params, d1: int, d2: int):
-    pc = _squeeze_params(params[:13])
-    pm = _squeeze_params(params[13:])
-    yc, ym = jax.vmap(
-        lambda a, b2: _pair_math(a.astype(jnp.float32),
-                                 b2.astype(jnp.float32), pc, pm, d1, d2)
-    )(xc, xm)
-    return yc.astype(xc.dtype), ym.astype(xm.dtype)
+    """Composed-op reference (see _reference for why not vmap'd kernel
+    math): both blocks + the fusion coupling."""
+    yc = _reference(xc, params[:13], d1, d2, ncomp=2).astype(jnp.float32)
+    ym = _reference(xm, params[13:], d1, d2, ncomp=1).astype(jnp.float32)
+    c = yc.shape[-1] // 2
+    re, im = yc[..., :c], yc[..., c:]
+    cplx_mag = jnp.sqrt(jnp.maximum(re * re + im * im, _FUSION_EPS))
+    mag_out = ym + jax.nn.sigmoid(cplx_mag)
+    s = jax.nn.sigmoid(ym)
+    return (jnp.concatenate([re + s, im + s], axis=-1).astype(xc.dtype),
+            mag_out.astype(xm.dtype))
 
 
 @functools.lru_cache(maxsize=64)
