@@ -612,12 +612,14 @@ class Uformer(nn.Module):
 
         from se_tpu.utils.envflags import env_flag as _env_flag
 
-        # fused encoder levels on TPU eval (ops/pallas_encoder.py): conv +
-        # BN + PReLU + fusion for both branches in ONE dispatch per level
+        # fused encoder levels (ops/pallas_encoder.py): conv + BN + PReLU +
+        # fusion for both branches in ONE dispatch per level. OPT-IN ONLY:
+        # measured on-chip (round 3, B=32 x 4 s) the per-batch-item grid
+        # loses to XLA's conv emitter — headline 1813 -> 1127 au-s/s with
+        # encoder+decoder level kernels on (PERF.md "Negative results").
         use_enc_kernel = (
             deterministic
-            and (_jax.devices()[0].platform in ("tpu", "axon")
-                 or _env_flag("SE_TPU_FORCE_PALLAS_ENCODER"))
+            and _env_flag("SE_TPU_FORCE_PALLAS_ENCODER")
             and not _env_flag("SE_TPU_DISABLE_PALLAS_ENCODER"))
         skips_c, skips_m = [], []
         for i in range(6):
@@ -660,14 +662,13 @@ class Uformer(nn.Module):
 
         from se_tpu.utils.envflags import env_flag as _env_flag
 
-        # fused decoder levels on TPU eval: skip-concat + phase-split
-        # transposed conv + BN + PReLU + fusion as ONE Pallas dispatch per
-        # level (ops/pallas_decoder.py). Level 5 (C_out=1, lane dim 2)
-        # keeps the XLA path — 1-2 channel outputs waste VMEM tiles.
+        # fused decoder levels: skip-concat + phase-split transposed conv +
+        # BN + PReLU + fusion as ONE Pallas dispatch per level
+        # (ops/pallas_decoder.py). OPT-IN ONLY — measured slower than the
+        # XLA path on-chip (see the encoder-kernel note above).
         use_dec_kernel = (
             deterministic
-            and (_jax.devices()[0].platform in ("tpu", "axon")
-                 or _env_flag("SE_TPU_FORCE_PALLAS_DECODER"))
+            and _env_flag("SE_TPU_FORCE_PALLAS_DECODER")
             and not _env_flag("SE_TPU_DISABLE_PALLAS_DECODER"))
         for i in range(6):
             skip_re, skip_im = skips_c[-1 - i]

@@ -20,6 +20,12 @@ WHOLE level — both branches and the fusion — per batch item in VMEM:
 Backward runs the jnp reference via custom VJP (training uses the composed
 module path anyway — this kernel serves the serving path). Numerics match
 the composed path to fp32 round-off (tests/test_pallas_decoder.py).
+
+STATUS (round 3): OPT-IN ONLY (SE_TPU_FORCE_PALLAS_DECODER). Measured on
+the real chip at B=32 x 4 s, whole-level fusion LOSES to XLA (headline
+1813 -> 1127 au-s/s with encoder+decoder kernels on); lane padding limits
+it to levels 0-1 (see _vmem_estimate). Kept for the numerics tests and as
+a recorded negative result.
 """
 
 from __future__ import annotations
@@ -185,6 +191,29 @@ def split_phase_weights(kernel: jnp.ndarray):
     return w_even, w_odd
 
 
+def _vmem_estimate(t: int, f: int, cxc: int, cxm: int, cout: int) -> int:
+    """Padded-VMEM bytes for one grid step (fp32). Same tiling model as
+    pallas_encoder._vmem_estimate: (8, 128) tiles on the last two dims,
+    double-buffered in/out windows, the causal-pad and two phase-pad views
+    per branch, and the accumulators/tap buffers. Calibrated on-chip at
+    T=401: decoder level 1 (F=8, c_comp=256) estimates ~102 MB and
+    compiles; level 2 (F=16, c_comp=96) estimates ~112 MB and OOMs at an
+    actual 167 MB of 128 MB — the estimator misses Mosaic's per-tap copies
+    of the F-padded views, hence the conservative budget."""
+    ru = lambda x, m: -(-x // m) * m
+    lane = lambda c: ru(max(c, 1), 128)
+    b = 2 * t * ru(f, 8) * (lane(cxc) + lane(cxm)) * 4
+    b += 2 * t * ru(2 * f, 8) * (lane(2 * cout) + lane(cout)) * 4
+    b += (t + 1) * ru(f, 8) * (lane(cxc) + lane(cxm)) * 4
+    b += (t + 1) * ru(f + 2, 8) * (lane(cxc) + lane(cxm)) * 4
+    b += (t + 1) * ru(f + 1, 8) * (lane(cxc) + lane(cxm)) * 4
+    b += t * f * (2 * lane(2 * cout) + 2 * lane(cout) + 2 * lane(cxc)) * 4
+    return b
+
+
+_VMEM_BUDGET = 105 * 1024 * 1024
+
+
 def decoder_level(xc, xm, params, has_bn: bool,
                   interpret: bool | None = None):
     """xc (B, T, F, 4C) channel-concat [skip_re | x_re | skip_im | x_im],
@@ -202,6 +231,11 @@ def decoder_level(xc, xm, params, has_bn: bool,
                 or env_flag("SE_TPU_DISABLE_PALLAS_DECODER")):
             return _reference(xc, xm, params, has_bn)
         interpret = False
+    if not interpret:
+        _, t, f, c4 = xc.shape
+        if _vmem_estimate(t, f, c4, xm.shape[-1],
+                          params[2].shape[-1] // 2) > _VMEM_BUDGET:
+            return _reference(xc, xm, params, has_bn)
     fn = _fused(has_bn, bool(interpret))
     mesh = active_mesh()
     if mesh is not None:

@@ -16,6 +16,13 @@ tap avoids any im2col patch buffer.
 Numerics match the composed path to fp32 round-off
 (tests/test_pallas_encoder.py); backward runs the jnp reference via custom
 VJP (training uses the composed module path anyway).
+
+STATUS (round 3): OPT-IN ONLY (SE_TPU_FORCE_PALLAS_ENCODER). Measured on
+the real chip at B=32 x 4 s, whole-level fusion LOSES to XLA's conv
+emitter (headline 1813 -> 1127 au-s/s with encoder+decoder kernels on):
+the per-batch-item grid serializes 32 small work items, and lane padding
+limits it to levels 3-5 (see _vmem_estimate) where XLA is already fast.
+Kept for the numerics tests and as a recorded negative result.
 """
 
 from __future__ import annotations
@@ -145,6 +152,31 @@ def _fused(interpret: bool):
     return f
 
 
+def _vmem_estimate(t: int, f: int, cin: int, cout: int) -> int:
+    """Padded-VMEM bytes for one grid step (fp32). VMEM arrays tile the
+    last two dims to (8, 128); small channel counts on the lane axis pad
+    up to 128, so early levels (cin 1/8/16) blow past the 128 MB budget —
+    measured on-chip at T=401: level 2 (F=64, cin=16) requires 205 MB,
+    level 3 (F=32, cin=32) compiles. Terms: double-buffered in/out
+    windows, the two parity views (sublane dim 2 pads to 8), and the
+    accumulator + tap buffers."""
+    ru = lambda x, m: -(-x // m) * m
+    lane = lambda c: ru(max(c, 1), 128)
+    b = 2 * t * ru(f, 8) * lane(2 * cin) * 4
+    b += 2 * t * ru(f, 8) * lane(cin) * 4
+    b += 2 * t * ru(f // 2, 8) * lane(2 * cout) * 4
+    b += 2 * t * ru(f // 2, 8) * lane(cout) * 4
+    b += (t + 1) * ((f + 4) // 2) * 8 * lane(2 * cin) * 4
+    b += (t + 1) * ((f + 4) // 2) * 8 * lane(cin) * 4
+    b += t * (f // 2) * (lane(2 * cout) + lane(cout) + 2 * lane(2 * cin)) * 4
+    return b
+
+
+# calibrated on-chip (T=401): level 3 estimates 112 MB and compiles;
+# level 2 estimates 216 MB and OOMs (205 MB actual of 128 MB VMEM)
+_VMEM_BUDGET = 115 * 1024 * 1024
+
+
 def encoder_level(xc, xm, params, interpret: bool | None = None):
     """xc (B, T, F, 2*Cin) channel-concat [re | im], xm (B, T, F, Cin) ->
     ((B, T, F//2, 2*C_out), (B, T, F//2, C_out)). `params` is the 10-tuple
@@ -160,6 +192,11 @@ def encoder_level(xc, xm, params, interpret: bool | None = None):
                 or env_flag("SE_TPU_DISABLE_PALLAS_ENCODER")):
             return _reference(xc, xm, params)
         interpret = False
+    if not interpret:
+        _, t, f, c2 = xc.shape
+        if _vmem_estimate(t, f, c2 // 2,
+                          params[0].shape[-1] // 2) > _VMEM_BUDGET:
+            return _reference(xc, xm, params)
     fn = _fused(bool(interpret))
     mesh = active_mesh()
     if mesh is not None:

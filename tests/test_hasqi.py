@@ -33,6 +33,7 @@ def test_identity_scores_high(speech):
     assert p > 0.99, p
 
 
+@pytest.mark.slow
 def test_monotone_with_snr(speech):
     rng = np.random.default_rng(1)
     noise = rng.standard_normal(len(speech))
@@ -92,6 +93,7 @@ _MODERATE = np.array([30.0, 35.0, 40.0, 45.0, 50.0, 55.0])
 
 @pytest.mark.parametrize("hl,level1", [(_MILD, 65.0), (_MODERATE, 85.0)],
                          ids=["mild", "moderate"])
+@pytest.mark.slow
 def test_monotone_with_snr_under_hearing_loss(speech, hl, level1):
     """The quality ordering must survive an impaired ear model. Moderate
     loss is presented at 85 dB (a 65 dB signal is genuinely inaudible

@@ -92,6 +92,7 @@ def test_decoder_level_grad_flows(rng):
         assert float(jnp.abs(a).sum()) > 0
 
 
+@pytest.mark.slow
 def test_uformer_decoder_wiring_matches_composed(rng, monkeypatch):
     """Full-model check of the fused-decoder WIRING (param-holder tree
     reuse, BN folding, concat order): same params, fused-path output must
