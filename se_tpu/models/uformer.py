@@ -530,7 +530,8 @@ class DilatedDualpathConformer(nn.Module):
         # (>25 min for jit(init)) with zero benefit over the composed path
         platform = jax.devices()[0].platform
         use_pair = (platform in ("tpu", "axon")
-                    and not env_flag("SE_TPU_DISABLE_PALLAS_DSCONV"))
+                    and not env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")
+                    and not env_flag("SE_TPU_DISABLE_PALLAS_DSCONV_PAIR"))
         n = len(DILATIONS)
         for idx, d in enumerate(DILATIONS):
             d2 = DILATIONS[n - idx - 1]

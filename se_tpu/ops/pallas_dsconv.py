@@ -200,9 +200,15 @@ def dsconv_block(x, params, d1: int, d2: int, ncomp: int,
     from se_tpu.utils.envflags import env_flag
 
     if interpret is None:
+        # OPT-IN ONLY (round 3): measured on-chip at B=32 x 4 s the fused
+        # block loses to the composed lax.conv path (headline 1797.5 with
+        # this kernel vs 1916.0 composed; the round-2 "win" was against
+        # the since-replaced vmap'd-im2col reference, not against XLA's
+        # conv emitter). Kept for the numerics tests.
         platform = jax.devices()[0].platform
         if (platform not in ("tpu", "axon")
-                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")):
+                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")
+                or not env_flag("SE_TPU_FORCE_PALLAS_DSCONV")):
             return _reference(x, tuple(params), d1, d2, ncomp)
         interpret = False
     fn = _fused(d1, d2, ncomp, bool(interpret))
@@ -323,9 +329,13 @@ def dsconv_pair_block(xc, xm, params_c, params_m, d1: int, d2: int,
 
     params = tuple(params_c) + tuple(params_m)
     if interpret is None:
+        # OPT-IN ONLY (round 3): measured slower than the composed path
+        # (headline 1814.1 with the pair kernel vs 1916.0 composed; see
+        # dsconv_block)
         platform = jax.devices()[0].platform
         if (platform not in ("tpu", "axon")
-                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")):
+                or env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")
+                or not env_flag("SE_TPU_FORCE_PALLAS_DSCONV")):
             return _pair_reference(xc, xm, params, d1, d2)
         interpret = False
     fn = _pair_fused(d1, d2, bool(interpret))
