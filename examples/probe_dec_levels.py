@@ -16,7 +16,9 @@ KERNELS = [1, 8, 16, 32, 64, 128, 128]
 
 
 def main(which):
-    from se_tpu.ops.pallas_decoder import decoder_level, split_phase_weights
+    from se_tpu.ops.pallas_decoder import (_VMEM_BUDGET, _vmem_estimate,
+                                           decoder_level,
+                                           split_phase_weights)
     rng = np.random.default_rng(0)
 
     def mk(*shape):
@@ -39,8 +41,13 @@ def main(which):
                   mk(1, 2 * cout), mk(1, 1))
             pm = (wme, wmo, mk(1, cout), mk(1, cout), mk(1, cout),
                   mk(1, 1))
-            print(f"level {i}: F={f} c_comp={c_comp} cout={cout} ...",
-                  flush=True)
+            # report the VMEM-gate decision so "ok" is unambiguous about
+            # which path (pallas vs gated XLA reference) actually compiled
+            est = _vmem_estimate(T, f, 2 * c_comp, c_comp, cout)
+            path = ("PALLAS" if est <= _VMEM_BUDGET
+                    else "XLA-reference (gated)")
+            print(f"level {i}: F={f} c_comp={c_comp} cout={cout} "
+                  f"est={est / 2**20:.0f}MB path={path} ...", flush=True)
             yc, ym = decoder_level(xc, xm, pc + pm, has_bn=True,
                                    interpret=False)
             yc.block_until_ready()

@@ -28,7 +28,8 @@ def enc_params(cin, cout, rng):
 
 
 def main(which):
-    from se_tpu.ops.pallas_encoder import encoder_level
+    from se_tpu.ops.pallas_encoder import (_VMEM_BUDGET, _vmem_estimate,
+                                           encoder_level)
     rng = np.random.default_rng(0)
     f = 256
     for i in range(6):
@@ -40,7 +41,13 @@ def main(which):
                          jnp.float32)
         xm = jnp.asarray(rng.standard_normal((B, T, f, cin)), jnp.float32)
         params = enc_params(cin, cout, rng)
-        print(f"level {i}: F={f} cin={cin} cout={cout} ...", flush=True)
+        # the VMEM gate inside encoder_level routes over-budget levels to
+        # the XLA reference even with interpret=False — report which path
+        # this geometry actually exercises so "ok" is unambiguous
+        est = _vmem_estimate(T, f, cin, cout)
+        path = "PALLAS" if est <= _VMEM_BUDGET else "XLA-reference (gated)"
+        print(f"level {i}: F={f} cin={cin} cout={cout} "
+              f"est={est / 2**20:.0f}MB path={path} ...", flush=True)
         yc, ym = encoder_level(xc, xm, params, interpret=False)
         yc.block_until_ready()
         print(f"  ok: {yc.shape} {ym.shape}", flush=True)

@@ -525,9 +525,13 @@ class DilatedDualpathConformer(nn.Module):
 
         from se_tpu.utils.envflags import env_flag
 
-        # fused pair only where the Pallas kernel actually runs: on CPU the
-        # jnp fallback's 8 inlined im2col stages blow XLA:CPU compile time
-        # (>25 min for jit(init)) with zero benefit over the composed path
+        # dsconv_pair_block is the fused single-dispatch entry; since the
+        # round-3 A/B (PERF.md "Negative results": pair kernel 1814 vs 1916
+        # composed) the Pallas path inside it is opt-in via
+        # SE_TPU_FORCE_PALLAS_DSCONV, so without the force flag this branch
+        # routes to _pair_reference — the same composed lax.conv math as the
+        # module path below, with an identical param tree. The TPU-only
+        # guard is kept so CPU (tests, init) always uses the module path.
         platform = jax.devices()[0].platform
         use_pair = (platform in ("tpu", "axon")
                     and not env_flag("SE_TPU_DISABLE_PALLAS_DSCONV")

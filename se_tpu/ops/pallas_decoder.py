@@ -233,8 +233,12 @@ def decoder_level(xc, xm, params, has_bn: bool,
         interpret = False
     if not interpret:
         _, t, f, c4 = xc.shape
-        if _vmem_estimate(t, f, c4, xm.shape[-1],
-                          params[2].shape[-1] // 2) > _VMEM_BUDGET:
+        est = _vmem_estimate(t, f, c4, xm.shape[-1],
+                             params[2].shape[-1] // 2)
+        if est > _VMEM_BUDGET:
+            from se_tpu.ops.pallas_encoder import _warn_vmem_fallback
+
+            _warn_vmem_fallback("decoder_level", est, _VMEM_BUDGET)
             return _reference(xc, xm, params, has_bn)
     fn = _fused(has_bn, bool(interpret))
     mesh = active_mesh()

@@ -176,6 +176,25 @@ def _vmem_estimate(t: int, f: int, cin: int, cout: int) -> int:
 # level 2 estimates 216 MB and OOMs (205 MB actual of 128 MB VMEM)
 _VMEM_BUDGET = 115 * 1024 * 1024
 
+_warned_vmem: set = set()
+
+
+def _warn_vmem_fallback(kind: str, est: int, budget: int = _VMEM_BUDGET
+                        ) -> None:
+    """One-time notice that the VMEM gate routed a level to the XLA
+    reference — without it, forced A/B runs (SE_TPU_FORCE_PALLAS_*)
+    silently measure the reference path on over-budget levels."""
+    key = (kind, est)
+    if key in _warned_vmem:
+        return
+    _warned_vmem.add(key)
+    import warnings
+
+    warnings.warn(
+        f"pallas {kind}: VMEM estimate {est / 2**20:.0f} MB exceeds budget"
+        f" {budget / 2**20:.0f} MB; using XLA reference path for this"
+        " level geometry", stacklevel=3)
+
 
 def encoder_level(xc, xm, params, interpret: bool | None = None):
     """xc (B, T, F, 2*Cin) channel-concat [re | im], xm (B, T, F, Cin) ->
@@ -194,8 +213,9 @@ def encoder_level(xc, xm, params, interpret: bool | None = None):
         interpret = False
     if not interpret:
         _, t, f, c2 = xc.shape
-        if _vmem_estimate(t, f, c2 // 2,
-                          params[0].shape[-1] // 2) > _VMEM_BUDGET:
+        est = _vmem_estimate(t, f, c2 // 2, params[0].shape[-1] // 2)
+        if est > _VMEM_BUDGET:
+            _warn_vmem_fallback("encoder_level", est)
             return _reference(xc, xm, params)
     fn = _fused(bool(interpret))
     mesh = active_mesh()
