@@ -25,6 +25,20 @@ B, N = 32, 64000
 SRC_T = 401
 
 
+def _cost(fn, x):
+    """XLA cost analysis (flops, HBM bytes) for one region call — the
+    roofline inputs. Returns (gflops, gbytes) or (nan, nan)."""
+    try:
+        analysis = jax.jit(fn).lower(x).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        fl = float(analysis.get("flops", float("nan")))
+        by = float(analysis.get("bytes accessed", float("nan")))
+        return fl / 1e9, by / 1e9
+    except Exception:  # noqa: BLE001
+        return float("nan"), float("nan")
+
+
 def timeit(name, fn, x, iters=32):
     @jax.jit
     def run_n(v):
@@ -43,7 +57,12 @@ def timeit(name, fn, x, iters=32):
     t0 = time.perf_counter()
     jax.block_until_ready(run_n(warm))
     dt = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:28s} {dt:8.2f} ms", flush=True)
+    gf, gb = _cost(fn, x)
+    # roofline: achieved rate vs what HBM bandwidth alone would allow
+    tfs = gf / dt if dt else float("nan")          # TFLOP/s achieved
+    bw = gb / dt * 1000 if dt else float("nan")    # GB/s achieved
+    print(f"{name:28s} {dt:8.2f} ms  {gf:8.1f} GF {gb:7.2f} GB"
+          f"  {tfs:6.2f} TF/s {bw:7.0f} GB/s", flush=True)
     return dt
 
 
@@ -169,8 +188,11 @@ def main():
                           jnp.float32) * 0.1
 
     EPS = float(np.finfo(np.float32).eps)
+    cos_p = jnp.cos(phase)
+    sin_p = jnp.sin(phase)
 
     def heads(t3):
+        # mirrors the current trig-free head math (models/uformer.py:721-752)
         dre, dim, dmg = t3
         mag = jax.nn.sigmoid(dmg[..., 0])
         mag = jnp.pad(mag, ((0, 0), (0, 0), (1, 0)))
@@ -180,14 +202,18 @@ def main():
         real_phase = mask_re / (mask_mags + EPS)
         imag_phase = mask_im / (mask_mags + EPS)
         mask_mags = jnp.tanh(mask_mags + EPS)
-        mask_phase = jnp.arctan2(imag_phase + EPS, real_phase)
+        bb = imag_phase + EPS
+        inv = jax.lax.rsqrt(real_phase**2 + bb * bb)
+        cos_m, sin_m = real_phase * inv, bb * inv
         mask_mags = jnp.pad(mask_mags, ((0, 0), (0, 0), (1, 0)))
-        mask_phase = jnp.pad(mask_phase, ((0, 0), (0, 0), (1, 0)))
+        cos_m = jnp.pad(cos_m, ((0, 0), (0, 0), (1, 0)), constant_values=1.0)
+        sin_m = jnp.pad(sin_m, ((0, 0), (0, 0), (1, 0)))
+        cos_est = cos_p * cos_m - sin_p * sin_m
+        sin_est = sin_p * cos_m + cos_p * sin_m
         est_mags = mask_mags * mag_full
-        est_phase = phase + mask_phase
         mag_fused = (est_mags + mag) * 0.5
-        out_re = mag_fused * jnp.cos(est_phase)
-        out_im = mag_fused * jnp.sin(est_phase)
+        out_re = mag_fused * cos_est
+        out_im = mag_fused * sin_est
         return istft(out_re, out_im, PRESET_UFORMER, length=N)
 
     t_heads = timeit("heads (trig+istft)", jax.jit(heads),
