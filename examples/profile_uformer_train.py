@@ -110,7 +110,7 @@ def main():
         re0 = jnp.asarray(rng.standard_normal((B, SRC_T, f0, 1)),
                           jnp.float32) * 0.1
         enc = Enc()
-        vs_e = enc.init(key, re0, re0, re0)
+        vs_e = jax.jit(enc.init)(key, re0, re0, re0)
 
         def loss_e(t3):
             out, _ = enc.apply(vs_e, *t3, mutable=["batch_stats"])
@@ -125,7 +125,7 @@ def main():
 
     if "conf" in which:
         conf = DilatedDualpathConformer()
-        vs_c = conf.init({"params": key, "dropout": key}, re_b, im_b, mg_b,
+        vs_c = jax.jit(conf.init, static_argnames="deterministic")({"params": key, "dropout": key}, re_b, im_b, mg_b,
                          deterministic=False)
 
         def loss_c(t3):
@@ -168,7 +168,7 @@ def main():
             skips_m.append(s)
         dec = Dec()
         args = (re_b, im_b, mg_b)
-        vs_d = dec.init(key, *args, skips_c, skips_m)
+        vs_d = jax.jit(dec.init)(key, *args, skips_c, skips_m)
 
         def loss_d(t3):
             out, _ = dec.apply(vs_d, *t3, skips_c, skips_m,

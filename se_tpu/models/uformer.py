@@ -24,6 +24,7 @@ Quirks preserved: EPSILON added inside atan2/tanh args, residuals scaled by
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
@@ -480,7 +481,14 @@ class DSConvCplx(nn.Module):
             out = dsconv_block(x, params, self.dilation1, self.dilation2,
                                ncomp=2)
         else:
-            ref = _reference(x, params, self.dilation1, self.dilation2, 2)
+            # block-granular checkpoint: without it the 16-block conformer
+            # backward compiles into one giant graph the TPU compiler
+            # handles pathologically (round 4: 16.3 s/step at B=8 x 4 s,
+            # bisected to the dsconv param grads; the whole-forward remat
+            # variant crashed the remote compiler outright)
+            ref = jax.checkpoint(
+                lambda x, p: _reference(x, p, self.dilation1,
+                                        self.dilation2, 2))(x, params)
             delta = ref - x  # the block's pre-residual output, exactly
             out = x + nn.Dropout(0.1, deterministic=False)(delta)
         return out[..., :c_in], out[..., c_in:]
@@ -500,7 +508,9 @@ class DSConvReal(nn.Module):
         if deterministic:
             return dsconv_block(x, params, self.dilation1, self.dilation2,
                                 ncomp=1)
-        ref = _reference(x, params, self.dilation1, self.dilation2, 1)
+        ref = jax.checkpoint(
+            lambda x, p: _reference(x, p, self.dilation1,
+                                    self.dilation2, 1))(x, params)
         return x + nn.Dropout(0.1, deterministic=False)(ref - x)
 
 

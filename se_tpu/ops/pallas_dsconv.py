@@ -130,6 +130,49 @@ def _pallas_dsconv(x, params, d1: int, d2: int, ncomp: int,
     )(x, *params)
 
 
+@functools.lru_cache(maxsize=16)
+def _dconv33(d: int):
+    """3x3 T-dilated conv with a matmul-shaped WEIGHT gradient.
+
+    XLA:TPU's emitter for this conv's dW (a reverse conv whose window
+    spans the whole T axis) is pathological: measured round 4, the
+    uformer train step at B=8 x 4 s ran 16.3 s/step and the slowdown
+    bisects exactly to these two dconvs' param grads (12.2 s/step for the
+    dsconv group alone at B=4, T=101, vs 8.7 ms for input grads). The
+    forward and the input gradient use the fast native conv emitter
+    unchanged; only dW is overridden: an explicit 9-tap im2col einsum —
+    one (9C, B*T*F) @ (B*T*F, O) contraction on the MXU."""
+    from jax import lax
+
+    def conv_only(y, w):
+        return lax.conv_general_dilated(
+            y, w, window_strides=(1, 1), padding=((d, d), (1, 1)),
+            rhs_dilation=(d, 1), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.custom_vjp
+    def f(y, w):
+        return conv_only(y, w)
+
+    def fwd(y, w):
+        return conv_only(y, w), (y, w)
+
+    def bwd(res, g):
+        y, w = res
+        _, pull = jax.vjp(lambda yy: conv_only(yy, w), y)
+        dy, = pull(g)
+        t, fdim = y.shape[1], y.shape[2]
+        yp = jnp.pad(y, ((0, 0), (d, d), (1, 1), (0, 0)))
+        pat = jnp.stack(
+            [yp[:, i * d:i * d + t, j:j + fdim, :]
+             for i in range(3) for j in range(3)], axis=3)  # (B,T,F,9,C)
+        dw = jnp.einsum("btfkc,btfo->kco", pat, g,
+                        preferred_element_type=jnp.float32)
+        return dy, dw.reshape(w.shape).astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _reference(x, params, d1: int, d2: int, ncomp: int):
     """Composed-op reference of the same block (lax.conv / dense — the
     compile-friendly fallback and VJP recompute path; inlining the
@@ -158,10 +201,7 @@ def _reference(x, params, d1: int, d2: int, ncomp: int):
     def dconv(w9, b, d):
         # w9 rows are (i, j, cin) — exactly HWIO when reshaped
         w = w9.reshape(3, 3, tot, tot)
-        return lax.conv_general_dilated(
-            y, w.astype(y.dtype), window_strides=(1, 1),
-            padding=((d, d), (1, 1)), rhs_dilation=(d, 1),
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b[0]
+        return _dconv33(d)(y, w.astype(y.dtype)) + b[0]
 
     a = dconv(wd1, bd1, d1)
     g = dconv(wd2, bd2, d2)

@@ -193,3 +193,31 @@ def test_dsconv_pair_grad_flows(rng):
     assert np.isfinite(np.asarray(gc)).all()
     assert np.isfinite(np.asarray(gm)).all()
     assert float(jnp.abs(gc).sum()) > 0 and float(jnp.abs(gm).sum()) > 0
+
+
+@pytest.mark.parametrize("d", [1, 2, 5])
+def test_dconv33_custom_weight_grad_matches_native(rng, d):
+    """_dconv33's matmul-shaped dW (the round-4 fix for XLA:TPU's
+    pathological reverse-conv weight gradient — uformer train step
+    16.3 s/step -> see PERF.md) must equal the native conv's gradients."""
+    from jax import lax
+
+    from se_tpu.ops.pallas_dsconv import _dconv33
+
+    y = jnp.asarray(rng.standard_normal((2, 17, 4, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 5)) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 17, 4, 5)), jnp.float32)
+
+    def plain(y, w):
+        return lax.conv_general_dilated(
+            y, w, window_strides=(1, 1), padding=((d, d), (1, 1)),
+            rhs_dilation=(d, 1), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    f = _dconv33(d)
+    np.testing.assert_allclose(np.asarray(f(y, w)), np.asarray(plain(y, w)),
+                               atol=1e-5)
+    g1 = jax.grad(lambda y, w: jnp.sum(f(y, w) * g), argnums=(0, 1))(y, w)
+    g2 = jax.grad(lambda y, w: jnp.sum(plain(y, w) * g), argnums=(0, 1))(y, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
