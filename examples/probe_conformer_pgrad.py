@@ -51,6 +51,8 @@ GROUPS = {
     "ff": ("ff1_", "ff2_"),
     "att": ("cplx_tatt", "mag_tatt", "cplx_fatt", "mag_fatt"),
     "dsconv": ("dsconv_",),
+    "dsconv0": ("dsconv_cplx0", "dsconv_real0"),
+    "dsconv7": ("dsconv_cplx7", "dsconv_real7"),
     "ln": ("ln_",),
 }
 
