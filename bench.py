@@ -52,12 +52,11 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
             jnp.stack([re, im], axis=-1))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
 
-    # re-materialize init outputs with default layouts: jit-produced
-    # arrays can carry non-default on-device layouts that poison the
-    # consuming program's schedule (see PERF.md round-4 train regression;
-    # same mechanism applies to the enhance path's variables)
-    variables = jax.tree.map(
-        lambda a: jnp.asarray(np.asarray(a)), variables)
+    # jit-output → jit-input boundary: cure the axon provenance poison
+    # (150x op storm, see se_tpu/utils/layouts.py)
+    from se_tpu.utils.layouts import canonicalize_layouts
+
+    variables = canonicalize_layouts(variables)
 
     compressed = True
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[

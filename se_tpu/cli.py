@@ -95,6 +95,11 @@ def cmd_enhance(args):
                                                 jnp.asarray(wav[None]))
                 else:
                     vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
+                # jit-output → jit-input boundary (se_tpu/utils/layouts.py)
+                from se_tpu.utils.layouts import canonicalize_layouts
+
+                vars_ = canonicalize_layouts(vars_)
+                variables = vars_
             else:
                 vars_ = variables
             est = enhance_waveform(args.model, vars_, wav,
@@ -139,6 +144,10 @@ def cmd_stream(args):
                                                 jnp.asarray(wav[None]))
             else:
                 variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
+            # jit-output → jit-input boundary (se_tpu/utils/layouts.py)
+            from se_tpu.utils.layouts import canonicalize_layouts
+
+            variables = canonicalize_layouts(variables)
         if args.mode == "exact":
             if args.model != "lstm":
                 raise SystemExit("--mode exact currently supports --model lstm")

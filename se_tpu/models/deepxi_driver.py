@@ -102,8 +102,10 @@ class Prelim:
                 y = np.tile(y_frame, (mbatch_size, max_seq_len, 1)) \
                     * mask[..., None]
                 if params is None:
-                    params = self.net.init(
-                        jax.random.PRNGKey(seed), jnp.asarray(x))["params"]
+                    from se_tpu.utils.layouts import canonicalize_layouts
+
+                    params = canonicalize_layouts(self.net.init(
+                        jax.random.PRNGKey(seed), jnp.asarray(x))["params"])
                     opt_state = tx.init(params)
                 params, opt_state, _ = step(params, opt_state,
                                             jnp.asarray(x), jnp.asarray(y),
@@ -269,6 +271,11 @@ class DeepXiDriver:
                     obs, _ = self.inp_tgt.example(s[:1], x[:1])
                     self.variables = jax.jit(self.model.init)(
                         jax.random.PRNGKey(0), obs)
+                    # jit-output → jit-input boundary
+                    # (se_tpu/utils/layouts.py)
+                    from se_tpu.utils.layouts import canonicalize_layouts
+
+                    self.variables = canonicalize_layouts(self.variables)
                     opt_state = tx.init(self.variables["params"])
                 self.variables, opt_state, loss = step(
                     self.variables, opt_state, s, x, frames)

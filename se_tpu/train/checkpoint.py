@@ -50,7 +50,12 @@ def restore_checkpoint(checkpoint_dir: str, target_state,
         return target_state, False
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, jax.device_get(target_state))
-    return restored, True
+    # restored leaves may be device arrays with jit/restore provenance;
+    # feeding them to a compiled step risks the axon op-storm poison
+    # (se_tpu/utils/layouts.py) — canonicalize at this boundary too
+    from se_tpu.utils.layouts import canonicalize_layouts
+
+    return canonicalize_layouts(restored), True
 
 
 def parse_epoch_step(checkpoint_dir: str) -> tuple[int, int]:

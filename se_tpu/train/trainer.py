@@ -196,29 +196,6 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             loss = L.com_mag_mse_loss(est, lspec, frames)
         return loss, new_vars
 
-    def _canonical_layouts(tree):
-        """Re-materialize jit-produced arrays with default layouts.
-
-        The compiled init's outputs can carry non-default on-device
-        layouts (observed on the axon/v5e backend), and a train step
-        compiled against those input layouts degenerates into a
-        shape-independent op storm: the uformer step ran 16.3 s instead
-        of ~0.1 s at B=8 x 4 s — a ~150x collapse — and a minimal
-        reproducer showed the IDENTICAL graph+values at 6.6 ms with
-        host-round-tripped params vs 1069 ms with init-produced ones
-        (PERF.md round-4 "Open issue", examples/probe_min_variants.py).
-        One-time host round-trip of the param tree (~MBs) at init is
-        noise next to that. Single-process only: multi-host replicated
-        arrays must not be gathered through the host here.
-        """
-        import numpy as np
-
-        if jax.process_count() > 1:
-            return tree
-        return jax.tree.map(
-            lambda a: jnp.asarray(np.asarray(a))
-            if isinstance(a, jax.Array) else a, tree)
-
     def init_fn(rng, batch):
         # jit the flax init: un-jitted it dispatches each traced op eagerly,
         # which is pathological over a remote-tunneled device (~27 ms fixed
@@ -230,7 +207,11 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             mag, _, spec, _ = _prep(entry, mix, mix, cfg.compressed)
             feats = mag if entry.io_kind in ("mag_mask", "cirm") else spec
             variables = jax.jit(model.init)(rng, feats)
-        variables = _canonical_layouts(variables)
+        # jit-output → jit-input boundary: cure the axon provenance
+        # poison (150x op storm, see se_tpu/utils/layouts.py)
+        from se_tpu.utils.layouts import canonicalize_layouts
+
+        variables = canonicalize_layouts(variables)
         params = variables.pop("params")
         state = {
             "params": params,
