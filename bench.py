@@ -28,6 +28,24 @@ import jax.numpy as jnp
 SR = 16000
 
 
+def _repeats() -> int:
+    return int(os.environ.get("SE_TPU_BENCH_REPEATS", "5"))
+
+
+def _stats(audio_seconds: float, dts: list) -> dict:
+    """Median throughput + spread over per-dispatch timings."""
+    thr = sorted(audio_seconds / dt for dt in dts)
+    n = len(thr)
+    med = thr[n // 2] if n % 2 else 0.5 * (thr[n // 2 - 1] + thr[n // 2])
+    return {
+        "throughput": med,
+        "min": thr[0],
+        "max": thr[-1],
+        "spread_pct": 100.0 * (thr[-1] - thr[0]) / med if med else 0.0,
+        "repeats": n,
+    }
+
+
 def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
     from se_tpu.eval.enhance import _enhance_jit
     from se_tpu.models import get_model
@@ -53,10 +71,12 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
 
     # jit-output → jit-input boundary: cure the axon provenance poison
-    # (150x op storm, see se_tpu/utils/layouts.py)
-    from se_tpu.utils.layouts import canonicalize_layouts
+    # (150x op storm, see se_tpu/utils/layouts.py). SE_TPU_BENCH_NO_CANON=1
+    # skips it for A/B-ing the boundary cost itself.
+    if not os.environ.get("SE_TPU_BENCH_NO_CANON"):
+        from se_tpu.utils.layouts import canonicalize_layouts
 
-    variables = canonicalize_layouts(variables)
+        variables = canonicalize_layouts(variables)
 
     compressed = True
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[
@@ -75,15 +95,22 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
             return wav + 1e-6 * out
         return jax.lax.fori_loop(0, iters, body, w)
 
-    # warm up, then time on the warmup's OUTPUT: an identical repeated
-    # request could be served by the remote tunnel's response cache
+    # warm up, then time REPEATS dispatches, each on the previous
+    # dispatch's OUTPUT: an identical repeated request could be served by
+    # the remote tunnel's response cache, so every timed call sees fresh
+    # input bytes. Multiple repeats give the headline variance bars
+    # (VERDICT r4 item 1: a single sample cannot distinguish a real
+    # regression from tunnel jitter, measured ~±5%).
     warm = run_n(wav)
     warm.block_until_ready()
-    t0 = time.perf_counter()
-    run_n(warm).block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dts = []
+    for _ in range(_repeats()):
+        t0 = time.perf_counter()
+        warm = run_n(warm)
+        warm.block_until_ready()
+        dts.append((time.perf_counter() - t0) / iters)
     audio_seconds = batch * seconds
-    return audio_seconds / dt
+    return _stats(audio_seconds, dts)
 
 
 def _bench_train(name: str, batch: int, seconds: float, iters: int = 16,
@@ -121,14 +148,18 @@ def _bench_train(name: str, batch: int, seconds: float, iters: int = 16,
             return s2
         return jax.lax.fori_loop(0, iters, body, st)
 
-    # warm up, then time on the evolved state (identical repeated requests
-    # could be served by the remote tunnel's response cache)
+    # warm up, then time REPEATS dispatches on the evolving state
+    # (identical repeated requests could be served by the remote tunnel's
+    # response cache; state evolution guarantees fresh bytes per call)
     state = run_n(state)
     jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_n(state))
-    dt = (time.perf_counter() - t0) / iters
-    return batch * seconds / dt
+    dts = []
+    for _ in range(_repeats()):
+        t0 = time.perf_counter()
+        state = run_n(state)
+        jax.block_until_ready(state)
+        dts.append((time.perf_counter() - t0) / iters)
+    return _stats(batch * seconds, dts)
 
 
 def main():
@@ -145,29 +176,39 @@ def main():
             if m == "deepxi":
                 continue
             try:
-                thr = _bench_model(m, batch, seconds)
-                print(f"{m}: {thr:.1f} audio-s/s/chip", file=sys.stderr)
+                st = _bench_model(m, batch, seconds)
+                print(f"{m}: {st['throughput']:.1f} audio-s/s/chip "
+                      f"[{st['min']:.1f}, {st['max']:.1f}] x{st['repeats']}",
+                      file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"{m}: FAILED {e}", file=sys.stderr)
 
     if os.environ.get("SE_TPU_BENCH_MODE", "enhance") == "train":
-        throughput = _bench_train(
+        st = _bench_train(
             name, batch, seconds,
             remat=os.environ.get("SE_TPU_BENCH_REMAT", "none"))
         print(json.dumps({
             "metric": f"{name}_train_throughput",
-            "value": round(throughput, 2),
+            "value": round(st["throughput"], 2),
             "unit": "audio-seconds/s/chip",
-            "vs_baseline": round(throughput, 2),
+            "vs_baseline": round(st["throughput"], 2),
+            "min": round(st["min"], 2),
+            "max": round(st["max"], 2),
+            "spread_pct": round(st["spread_pct"], 2),
+            "repeats": st["repeats"],
         }))
         return
 
-    throughput = _bench_model(name, batch, seconds)
+    st = _bench_model(name, batch, seconds)
     print(json.dumps({
         "metric": f"{name}_enhance_throughput",
-        "value": round(throughput, 2),
+        "value": round(st["throughput"], 2),
         "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(throughput, 2),
+        "vs_baseline": round(st["throughput"], 2),
+        "min": round(st["min"], 2),
+        "max": round(st["max"], 2),
+        "spread_pct": round(st["spread_pct"], 2),
+        "repeats": st["repeats"],
     }))
 
 
