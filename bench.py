@@ -32,6 +32,13 @@ def _repeats() -> int:
     return int(os.environ.get("SE_TPU_BENCH_REPEATS", "5"))
 
 
+def _iters(default: int) -> int:
+    """Chained iterations per dispatch. Lower via SE_TPU_BENCH_ITERS for
+    configs known to be pathologically slow (e.g. ablation cells measuring
+    a ~30x regression) where full-precision timing wastes chip-hours."""
+    return int(os.environ.get("SE_TPU_BENCH_ITERS", str(default)))
+
+
 def _stats(audio_seconds: float, dts: list) -> dict:
     """Median throughput + spread over per-dispatch timings."""
     thr = sorted(audio_seconds / dt for dt in dts)
@@ -46,7 +53,8 @@ def _stats(audio_seconds: float, dts: list) -> dict:
     }
 
 
-def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
+def _bench_model(name: str, batch: int, seconds: float, iters: int | None = None):
+    iters = _iters(32) if iters is None else iters
     from se_tpu.eval.enhance import _enhance_jit
     from se_tpu.models import get_model
     from se_tpu.ops.stft import stft
@@ -113,9 +121,10 @@ def _bench_model(name: str, batch: int, seconds: float, iters: int = 32):
     return _stats(audio_seconds, dts)
 
 
-def _bench_train(name: str, batch: int, seconds: float, iters: int = 16,
+def _bench_train(name: str, batch: int, seconds: float, iters: int | None = None,
                  remat: str = "none"):
     """Training-step throughput (audio-seconds of training data per second)."""
+    iters = _iters(16) if iters is None else iters
     from se_tpu.train.trainer import TrainConfig, make_train_step
 
     cfg = TrainConfig(

@@ -1,15 +1,20 @@
 #!/bin/bash
-# Round-3 measurement battery (VERDICT r2 item 1): every number PERF.md
-# needs, run sequentially on the real chip. Results stream to stdout;
-# redirect to a file and transcribe into PERF.md.
+# Measurement battery (VERDICT r2 item 1; extended round 5 with train
+# benches, the fullsubnet chunk sweep, and streaming latency — items
+# 3/7/8/9): every number PERF.md needs, run sequentially on the real
+# chip. Results stream to stdout; redirect to examples/battery_r5.log,
+# COMMIT THE LOG, and transcribe into PERF.md (provenance rule: no
+# PERF.md number without a committed raw log).
 set -u
 cd /root/repo
 
 run() { echo "=== $* ==="; "$@" 2>&1 | grep -v "WARNING.*axon"; echo; }
 
-echo "--- headline (uformer enhance B=32 x 4 s) ---"
+echo "--- headline (uformer enhance B=32 x 4 s; repeats give spread) ---"
+run python bench.py
 run python bench.py
 run env SE_TPU_BENCH_DTYPE=bf16 python bench.py
+run env SE_TPU_BENCH_NO_CANON=1 python bench.py
 
 echo "--- kernel A/B: headline with each Pallas kernel disabled ---"
 run env SE_TPU_DISABLE_PALLAS_DSCONV=1 python bench.py
@@ -24,6 +29,12 @@ echo "--- fullsubnet train step B=32 (pallas lstm on/off; OOM check) ---"
 run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet python bench.py
 run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet SE_TPU_DISABLE_PALLAS_LSTM=1 python bench.py
 
+echo "--- fullsubnet train: bf16 + backward chunk sweep (round 5 item 8) ---"
+run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet SE_TPU_BENCH_DTYPE=bf16 python bench.py
+run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet SE_TPU_LSTM_BWD_CHUNK=16 python bench.py
+run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet SE_TPU_LSTM_BWD_CHUNK=64 python bench.py
+run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=fullsubnet SE_TPU_LSTM_BWD_CHUNK=128 python bench.py
+
 echo "--- train headline refresh ---"
 run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=dpcrn python bench.py
 run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=dpcrn SE_TPU_BENCH_DTYPE=bf16 python bench.py
@@ -33,6 +44,9 @@ run env SE_TPU_BENCH_MODE=train SE_TPU_BENCH_MODEL=uformer SE_TPU_BENCH_BATCH=8 
 echo "--- zoo sweep (B=8 x 4 s, cache-safe) ---"
 run env SE_TPU_BENCH_ALL=1 SE_TPU_BENCH_BATCH=8 python bench.py
 run env SE_TPU_BENCH_ALL=1 SE_TPU_BENCH_BATCH=8 SE_TPU_BENCH_DTYPE=bf16 python bench.py
+
+echo "--- streaming latency (round 5 item 9; exact streamers on-chip) ---"
+run python examples/bench_streaming_latency.py
 
 echo "--- kernel microbenches ---"
 run python examples/diag_kernels.py dsconv

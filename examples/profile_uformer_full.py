@@ -6,6 +6,11 @@ Run: python examples/profile_uformer_full.py [region ...]
 Regions: full stft enc conf dec heads (default: all but `full` — bench.py
 already measures the full model, and each region costs a multi-minute
 remote compile through the tunnel).
+
+SE_TPU_PROF_DTYPE=bf16 casts every region's inputs and params to bf16
+(the same contract as the bf16 enhance path: params + activations bf16,
+norm statistics accumulate fp32 internally) — the round-5 instrument for
+locating the bf16 roofline gap (VERDICT r4 item 5).
 """
 
 from __future__ import annotations
@@ -66,6 +71,17 @@ def timeit(name, fn, x, iters=32):
     return dt
 
 
+DTYPE = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[
+    os.environ.get("SE_TPU_PROF_DTYPE", "fp32")]
+
+
+def _cast(tree):
+    return jax.tree.map(
+        lambda p: p.astype(DTYPE)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+        else p, tree)
+
+
 def main():
     which = set(sys.argv[1:]) or {"stft", "enc", "conf", "dec", "heads"}
     import flax.linen as nn
@@ -80,12 +96,13 @@ def main():
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    wav = jnp.asarray(rng.standard_normal((B, N)), jnp.float32) * 0.1
+    wav = (jnp.asarray(rng.standard_normal((B, N)), jnp.float32) * 0.1
+           ).astype(DTYPE)
 
     total = 0.0
     if "full" in which:
         model = Uformer()
-        vs = jax.jit(model.init)(key, wav[:1], wav[:1])
+        vs = _cast(jax.jit(model.init)(key, wav[:1], wav[:1]))
         total = timeit("uformer full fwd",
                        lambda w: model.apply(vs, w, w)[0], wav, iters=16)
 
@@ -116,23 +133,26 @@ def main():
     if "enc" not in which:
         t_enc = 0.0
     f0 = 256
-    re0 = jnp.asarray(rng.standard_normal((B, SRC_T, f0, 1)),
-                      jnp.float32) * 0.1
+    re0 = (jnp.asarray(rng.standard_normal((B, SRC_T, f0, 1)),
+                       jnp.float32) * 0.1).astype(DTYPE)
     if "enc" in which:
         enc = Enc()
-        vs_e = jax.jit(enc.init)(key, re0, re0, re0)
+        vs_e = _cast(jax.jit(enc.init)(key, re0, re0, re0))
         t_enc = timeit("encoder (6 lvls + fusion)",
                        lambda t3: enc.apply(vs_e, *t3), (re0, re0, re0))
 
     # conformer at bottleneck
     cshape = (B, SRC_T, 4, 128)
-    re_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
-    im_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
-    mg_b = jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+    re_b = (jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+            ).astype(DTYPE)
+    im_b = (jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+            ).astype(DTYPE)
+    mg_b = (jnp.asarray(rng.standard_normal(cshape), jnp.float32) * 0.1
+            ).astype(DTYPE)
     t_conf = 0.0
     if "conf" in which:
         conf = DilatedDualpathConformer()
-        vs_c = jax.jit(conf.init)(key, re_b, im_b, mg_b)
+        vs_c = _cast(jax.jit(conf.init)(key, re_b, im_b, mg_b))
         t_conf = timeit("conformer", lambda t3: conf.apply(vs_c, *t3),
                         (re_b, im_b, mg_b))
 
@@ -162,30 +182,31 @@ def main():
     for i in range(6):
         f = f // 2
         c = KERNELS[i + 1]
-        s = jnp.asarray(rng.standard_normal((B, SRC_T, f, c)),
-                        jnp.float32) * 0.1
+        s = (jnp.asarray(rng.standard_normal((B, SRC_T, f, c)),
+                         jnp.float32) * 0.1).astype(DTYPE)
         skips_c.append((s, s))
         skips_m.append(s)
     t_dec = 0.0
     if "dec" in which:
         dec = Dec()
         args = (re_b, im_b, mg_b, skips_c, skips_m)
-        vs_d = jax.jit(dec.init)(key, *args)
+        vs_d = _cast(jax.jit(dec.init)(key, *args))
         t_dec = timeit("decoder (6 lvls + fusion)",
                        lambda a: dec.apply(vs_d, *a), args)
 
     # heads: trig mask application + istft
     fm = 257
-    mag_full = jnp.abs(jnp.asarray(
+    mag_full = (jnp.abs(jnp.asarray(
         rng.standard_normal((B, SRC_T, fm)), jnp.float32)) + 0.1
+        ).astype(DTYPE)
     phase = jnp.asarray(
-        rng.uniform(-3.1, 3.1, (B, SRC_T, fm)), jnp.float32)
-    dec_re = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
-                         jnp.float32) * 0.1
-    dec_im = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
-                         jnp.float32) * 0.1
-    dec_mag = jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
-                          jnp.float32) * 0.1
+        rng.uniform(-3.1, 3.1, (B, SRC_T, fm)), jnp.float32).astype(DTYPE)
+    dec_re = (jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                          jnp.float32) * 0.1).astype(DTYPE)
+    dec_im = (jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                          jnp.float32) * 0.1).astype(DTYPE)
+    dec_mag = (jnp.asarray(rng.standard_normal((B, SRC_T, fm - 1, 1)),
+                           jnp.float32) * 0.1).astype(DTYPE)
 
     EPS = float(np.finfo(np.float32).eps)
     cos_p = jnp.cos(phase)

@@ -7,6 +7,11 @@ demonstration (PERF.md "End-to-end training demonstration").
 
 Run: python examples/train_synthetic_demo.py <model> [epochs] [batch]
 e.g. python examples/train_synthetic_demo.py uformer 40 8
+
+SE_TPU_DEMO_NTRAIN=320 scales the training set (round-5 G2Net
+negative-transfer discrimination, VERDICT r4 item 6: 4x data at the same
+recipe) and SE_TPU_DEMO_LOSS=com_mag_mse overrides the model's default
+loss (the control for the stagewise loss wiring).
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ import jax.numpy as jnp
 
 FS = 16000
 N = 4 * FS  # 4 s utterances
-N_TRAIN = 80
+N_TRAIN = int(_os.environ.get("SE_TPU_DEMO_NTRAIN", "80"))
 N_TEST = 16
 
 
@@ -68,6 +73,7 @@ def main():
     clean_tr, mix_tr = make_set(rng, N_TRAIN)
     clean_te, mix_te = make_set(np.random.default_rng(1), N_TEST)
 
+    loss = _os.environ.get("SE_TPU_DEMO_LOSS", "default")
     if name == "dccrn_snr":
         # the SNR-trained DCCRN variant (ref DCCRN_SNR/Backup.py:140-147)
         name = "dccrn"
@@ -75,7 +81,7 @@ def main():
                           learning_rate=lr,
                           model_kwargs={"snr_variant": True})
     else:
-        cfg = TrainConfig(model=name, learning_rate=lr)
+        cfg = TrainConfig(model=name, learning_rate=lr, loss=loss)
     model, init_fn, step_fn, eval_fn = make_train_step(cfg)
     frames = num_frames(N, get_model(name).stft)
 
@@ -118,7 +124,8 @@ def main():
         es_noisy.append(estoi(mix_te[i], clean_te[i], FS))
         es_enh.append(estoi(est, clean_te[i], FS))
 
-    print(f"\n=== {name} | {epochs} epochs, batch {batch}, lr {lr} ===")
+    print(f"\n=== {name} | {epochs} epochs, batch {batch}, lr {lr}, "
+          f"ntrain {N_TRAIN}, loss {loss} ===")
     print(f"loss: {first_loss:.4f} -> {last_loss:.4f}")
     print(f"SI-SDR: noisy {np.mean(si_noisy):.2f} dB -> "
           f"enhanced {np.mean(si_enh):.2f} dB")

@@ -117,11 +117,18 @@ def _enhance_jit(entry: ModelEntry, model, variables, wav: jnp.ndarray,
 
 def enhance_waveform(name: str, variables, wav: np.ndarray,
                      compressed: bool = True, model=None, dtype=None,
-                     **model_kw) -> np.ndarray:
+                     mesh=None, **model_kw) -> np.ndarray:
     """Enhance a batch (B, N) or single (N,) waveform with model `name`.
 
     Handles the RMS-gain convention per utterance (including G2Net's
     inverted one) and returns float32 numpy of the input shape.
+
+    `mesh`: optional jax.sharding.Mesh — the batch is sharded over its
+    'data' axis (padded to a multiple of the axis size, trimmed after)
+    with the variables replicated; outputs match the single-device path
+    (asserted by __graft_entry__.dryrun_multichip and
+    tests/test_trainer.py). The reference has no batched decode at all
+    (one utterance per loop step, ref LSTM/lstm_decode_vb.py:32).
     """
     entry = get_model(name)
     if model is None:
@@ -136,8 +143,23 @@ def enhance_waveform(name: str, variables, wav: np.ndarray,
     inverted = name == "g2net"  # ref G2Net_new/com_decode.py:43-44,88
     x_in = x / c if inverted else x * c
 
-    est = _enhance_jit(entry, model, variables, jnp.asarray(x_in),
-                       compressed, n, dtype=dtype)
-    est = np.asarray(est)
+    if mesh is not None:
+        from se_tpu.parallel.mesh import (
+            activation_mesh, replicate, shard_batch,
+        )
+
+        data_par = mesh.shape.get("data", 1)
+        pad = (-x_in.shape[0]) % data_par
+        xp = np.pad(x_in, ((0, pad), (0, 0))) if pad else x_in
+        with activation_mesh(mesh):
+            sharded = shard_batch({"wav": jnp.asarray(xp)}, mesh)["wav"]
+            repl = replicate(variables, mesh)
+            est = _enhance_jit(entry, model, repl, sharded, compressed, n,
+                               dtype=dtype)
+        est = np.asarray(est)[: x_in.shape[0]]
+    else:
+        est = np.asarray(
+            _enhance_jit(entry, model, variables, jnp.asarray(x_in),
+                         compressed, n, dtype=dtype))
     est = est * c if inverted else est / c
     return est[0] if single else est

@@ -42,6 +42,7 @@ from se_tpu.ops.stft import PRESET_UFORMER, istft, stft
 from se_tpu.parallel.mesh import shard_activation
 from se_tpu.models.registry import ModelEntry, register
 from se_tpu.utils import torch_compat as tc
+from se_tpu.utils.envflags import env_flag
 
 EPS = float(np.finfo(np.float32).eps)
 KERNELS = (1, 8, 16, 32, 64, 128, 128)
@@ -485,10 +486,13 @@ class DSConvCplx(nn.Module):
             # backward compiles into one giant graph the TPU compiler
             # handles pathologically (round 4: 16.3 s/step at B=8 x 4 s,
             # bisected to the dsconv param grads; the whole-forward remat
-            # variant crashed the remote compiler outright)
-            ref = jax.checkpoint(
-                lambda x, p: _reference(x, p, self.dilation1,
-                                        self.dilation2, 2))(x, params)
+            # variant crashed the remote compiler outright).
+            # SE_TPU_DISABLE_BLOCK_CKPT=1 ablates it (VERDICT r4 item 3).
+            fn = lambda x, p: _reference(x, p, self.dilation1,
+                                         self.dilation2, 2)
+            if not env_flag("SE_TPU_DISABLE_BLOCK_CKPT"):
+                fn = jax.checkpoint(fn)
+            ref = fn(x, params)
             delta = ref - x  # the block's pre-residual output, exactly
             out = x + nn.Dropout(0.1, deterministic=False)(delta)
         return out[..., :c_in], out[..., c_in:]
@@ -508,10 +512,11 @@ class DSConvReal(nn.Module):
         if deterministic:
             return dsconv_block(x, params, self.dilation1, self.dilation2,
                                 ncomp=1)
-        ref = jax.checkpoint(
-            lambda x, p: _reference(x, p, self.dilation1,
-                                    self.dilation2, 1))(x, params)
-        return x + nn.Dropout(0.1, deterministic=False)(ref - x)
+        fn = lambda x, p: _reference(x, p, self.dilation1,
+                                     self.dilation2, 1)
+        if not env_flag("SE_TPU_DISABLE_BLOCK_CKPT"):
+            fn = jax.checkpoint(fn)
+        return x + nn.Dropout(0.1, deterministic=False)(fn(x, params) - x)
 
 
 class DilatedDualpathConformer(nn.Module):

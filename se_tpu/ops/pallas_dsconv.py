@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from se_tpu.utils.envflags import env_flag
+
 _LN_EPS = 1e-5
 
 
@@ -141,7 +143,13 @@ def _dconv33(d: int):
     dsconv group alone at B=4, T=101, vs 8.7 ms for input grads). The
     forward and the input gradient use the fast native conv emitter
     unchanged; only dW is overridden: an explicit 9-tap im2col einsum —
-    one (9C, B*T*F) @ (B*T*F, O) contraction on the MXU."""
+    one (9C, B*T*F) @ (B*T*F, O) contraction on the MXU.
+
+    Restriction: custom_vjp makes this (and every dsconv route through
+    `_reference`) reverse-mode-only — jax.jvp/jax.linearize/jax.hessian
+    over models using these blocks will raise. Set
+    SE_TPU_DISABLE_DCONV33_VJP=1 to restore the plain conv (forward-mode
+    capable, pathological dW on TPU)."""
     from jax import lax
 
     def conv_only(y, w):
@@ -201,6 +209,13 @@ def _reference(x, params, d1: int, d2: int, ncomp: int):
     def dconv(w9, b, d):
         # w9 rows are (i, j, cin) — exactly HWIO when reshaped
         w = w9.reshape(3, 3, tot, tot)
+        if env_flag("SE_TPU_DISABLE_DCONV33_VJP"):
+            # ablation toggle (VERDICT r4 item 3): native conv emitter for
+            # the weight gradient too
+            return lax.conv_general_dilated(
+                y, w.astype(y.dtype), window_strides=(1, 1),
+                padding=((d, d), (1, 1)), rhs_dilation=(d, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b[0]
         return _dconv33(d)(y, w.astype(y.dtype)) + b[0]
 
     a = dconv(wd1, bd1, d1)

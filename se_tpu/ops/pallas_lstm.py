@@ -180,7 +180,15 @@ def _fused(interpret: bool):
         return _pallas_forward(x, wx, wh, b, interpret), (x, wx, wh, b)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(_scan_forward_chunked, *res)
+        # SE_TPU_LSTM_BWD_CHUNK sweeps the recompute granularity (round-5
+        # FullSubNet train instrumentation): larger chunks = fewer
+        # recompute segments but a bigger live (chunk, B, 4H) gate tensor
+        import os as _os
+
+        chunk = int(_os.environ.get("SE_TPU_LSTM_BWD_CHUNK", "32"))
+        _, vjp = jax.vjp(
+            lambda x, wx, wh, b: _scan_forward_chunked(x, wx, wh, b, chunk),
+            *res)
         return vjp(g.astype(res[0].dtype))
 
     f.defvjp(fwd, bwd)
