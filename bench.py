@@ -157,9 +157,16 @@ def _bench_train(name: str, batch: int, seconds: float, iters: int | None = None
             return s2
         return jax.lax.fori_loop(0, iters, body, st)
 
-    # warm up, then time REPEATS dispatches on the evolving state
+    # warm up TWICE, then time REPEATS dispatches on the evolving state
     # (identical repeated requests could be served by the remote tunnel's
-    # response cache; state evolution guarantees fresh bytes per call)
+    # response cache; state evolution guarantees fresh bytes per call).
+    # The second warmup absorbs a one-time executable re-preparation that
+    # otherwise hits the first timed dispatch (~100-200x, PERF.md
+    # "one-slow-dispatch artifact"): run_n compiles against the
+    # canonicalized init state, and its own jit-produced output state
+    # feeding back in re-prepares the executable once.
+    state = run_n(state)
+    jax.block_until_ready(state)
     state = run_n(state)
     jax.block_until_ready(state)
     dts = []

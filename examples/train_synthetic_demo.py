@@ -73,7 +73,7 @@ def main():
     clean_tr, mix_tr = make_set(rng, N_TRAIN)
     clean_te, mix_te = make_set(np.random.default_rng(1), N_TEST)
 
-    loss = _os.environ.get("SE_TPU_DEMO_LOSS", "default")
+    loss_name = _os.environ.get("SE_TPU_DEMO_LOSS", "default")
     if name == "dccrn_snr":
         # the SNR-trained DCCRN variant (ref DCCRN_SNR/Backup.py:140-147)
         name = "dccrn"
@@ -81,7 +81,7 @@ def main():
                           learning_rate=lr,
                           model_kwargs={"snr_variant": True})
     else:
-        cfg = TrainConfig(model=name, learning_rate=lr, loss=loss)
+        cfg = TrainConfig(model=name, learning_rate=lr, loss=loss_name)
     model, init_fn, step_fn, eval_fn = make_train_step(cfg)
     frames = num_frames(N, get_model(name).stft)
 
@@ -125,7 +125,7 @@ def main():
         es_enh.append(estoi(est, clean_te[i], FS))
 
     print(f"\n=== {name} | {epochs} epochs, batch {batch}, lr {lr}, "
-          f"ntrain {N_TRAIN}, loss {loss} ===")
+          f"ntrain {N_TRAIN}, loss {loss_name} ===")
     print(f"loss: {first_loss:.4f} -> {last_loss:.4f}")
     print(f"SI-SDR: noisy {np.mean(si_noisy):.2f} dB -> "
           f"enhanced {np.mean(si_enh):.2f} dB")
