@@ -180,9 +180,17 @@ def _bench_train(name: str, batch: int, seconds: float, iters: int | None = None
 
 def main():
     name = os.environ.get("SE_TPU_BENCH_MODEL", "uformer")
+    mode = os.environ.get("SE_TPU_BENCH_MODE", "enhance")
     # serving-style batch: the zoo models are far from compute-bound at
-    # small batch (PERF.md), so the headline uses a batched configuration
-    batch = int(os.environ.get("SE_TPU_BENCH_BATCH", "32"))
+    # small batch (PERF.md). Round 5 moved the enhance default from 32 to
+    # 256: the batch ladder (PERF.md "Headline batch sensitivity") showed
+    # per-au-s HBM traffic falls with power-of-two batch (B=256 is +47%
+    # fp32 / +49% bf16 over B=32, the best measured config in both
+    # dtypes; B=512 declines). SE_TPU_BENCH_BATCH=32 reproduces the old
+    # headline. Train mode keeps 32 (B=8 is its throughput sweet spot;
+    # 32 matches the reference's training batch, ref DCCRN/config.py:21).
+    default_batch = "256" if mode == "enhance" else "32"
+    batch = int(os.environ.get("SE_TPU_BENCH_BATCH", default_batch))
     seconds = float(os.environ.get("SE_TPU_BENCH_SECONDS", "4"))
 
     if os.environ.get("SE_TPU_BENCH_ALL"):

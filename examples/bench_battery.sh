@@ -10,11 +10,15 @@ cd /root/repo
 
 run() { echo "=== $* ==="; "$@" 2>&1 | grep -v "WARNING.*axon"; echo; }
 
-echo "--- headline (uformer enhance B=32 x 4 s; repeats give spread) ---"
+echo "--- headline (uformer enhance, default B=128 x 4 s since round 5) ---"
 run python bench.py
 run python bench.py
 run env SE_TPU_BENCH_DTYPE=bf16 python bench.py
+run env SE_TPU_BENCH_DTYPE=bf16 SE_TPU_BENCH_BATCH=256 python bench.py
 run env SE_TPU_BENCH_NO_CANON=1 python bench.py
+echo "--- continuity row: the r1-r4 B=32 configuration ---"
+run env SE_TPU_BENCH_BATCH=32 python bench.py
+run env SE_TPU_BENCH_BATCH=32 SE_TPU_BENCH_DTYPE=bf16 python bench.py
 
 echo "--- kernel A/B: headline with each Pallas kernel disabled ---"
 run env SE_TPU_DISABLE_PALLAS_DSCONV=1 python bench.py
