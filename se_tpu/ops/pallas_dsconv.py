@@ -170,6 +170,11 @@ def _dconv33(d: int):
         dy, = pull(g)
         t, fdim = y.shape[1], y.shape[2]
         yp = jnp.pad(y, ((0, 0), (d, d), (1, 1), (0, 0)))
+        # memory note (ADVICE r4): `pat` is a transient 9x activation
+        # spike per dconv backward. At the measured envelope (uformer
+        # B=32 x 4 s trains in-HBM, PERF.md sweep) it is fine; if larger
+        # B*T ever pressures HBM, accumulate the 9 per-tap contractions
+        # in a loop instead of stacking.
         pat = jnp.stack(
             [yp[:, i * d:i * d + t, j:j + fdim, :]
              for i in range(3) for j in range(3)], axis=3)  # (B,T,F,9,C)
